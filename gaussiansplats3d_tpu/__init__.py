@@ -1,0 +1,14 @@
+"""gaussiansplats3d_tpu — a TPU-native differentiable Gaussian-splat renderer.
+
+A from-scratch JAX/Pallas framework with the capabilities of
+mkkellogg/GaussianSplats3D: multi-format ingest (.ply/.splat/.ksplat/.spz),
+SH-shaded EWA splat projection, on-chip depth sort + tile binning,
+front-to-back compositing with a full backward pass, multi-scene composition,
+and multi-chip sharding via jax.sharding meshes.
+"""
+
+from .constants import MAX_SCENES  # noqa: F401
+from .core.types import Camera, RenderConfig, SplatData, random_splats  # noqa: F401
+from .render.oracle import reference_render  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,118 @@
+"""Tile binning + depth sorting: the on-device replacement for the
+reference's CPU sort machinery.
+
+The reference sorts *all* splats globally on the CPU every time the view
+changes (web worker + WASM counting sort, /root/reference/src/worker/
+sorter.cpp + SortWorker.js), culls with an octree (Viewer.js:1969-2077), and
+renders quads back-to-front.  On TPU we replace all of that with the standard
+tile-binning decomposition, entirely on device and inside one jit:
+
+1. every visible splat's screen AABB is expanded into (tile, splat) pairs;
+2. each pair gets a fused key ``tile_id << sort_bits | quantized_depth`` —
+   the depth quantization follows the sorter's distance map
+   (sorter.cpp:142-149, 2^sort_bits buckets);
+3. one stable radix sort of the fused keys yields, per tile, a contiguous
+   front-to-back splat list;
+4. per-tile ranges are recovered with binary searches.
+
+Everything is static-shaped for XLA: the pair list has a fixed capacity and
+overflow pairs are dropped (counted in ``overflow`` so callers can resize).
+The expansion uses the searchsorted trick — pair slot *i* belongs to the
+splat whose cumulative-pair-offset interval contains *i* — which is fully
+vectorized (no data-dependent loops).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..core.types import RenderConfig
+from .projection import ProjectedSplats, quantize_depth
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BinnedPairs:
+    """Sorted (tile, splat) pair lists + per-tile ranges (a JAX pytree)."""
+
+    sorted_splat_idx: jnp.ndarray   # [capacity] int32, splat index per pair
+    pair_valid: jnp.ndarray         # [capacity] bool
+    tile_starts: jnp.ndarray        # [num_tiles] int32 offsets into the list
+    tile_counts: jnp.ndarray        # [num_tiles] int32
+    total_pairs: jnp.ndarray        # [] int32 (pre-overflow-clamp)
+    overflow: jnp.ndarray           # [] int32 pairs dropped due to capacity
+
+
+def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig):
+    """Inclusive tile-coordinate bounds [tx0, tx1] x [ty0, ty1] per splat.
+
+    Returns (tx0, tx1, ty0, ty1, counts) where counts is 0 for culled splats
+    or splats whose AABB misses the viewport.
+    """
+    ts = float(cfg.tile_size)
+    x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    rx, ry = proj.radius[:, 0], proj.radius[:, 1]
+    tx0 = jnp.floor((x - rx) / ts).astype(jnp.int32)
+    tx1 = jnp.floor((x + rx) / ts).astype(jnp.int32)
+    ty0 = jnp.floor((y - ry) / ts).astype(jnp.int32)
+    ty1 = jnp.floor((y + ry) / ts).astype(jnp.int32)
+    inside = (proj.mask & (tx1 >= 0) & (ty1 >= 0)
+              & (tx0 < cfg.tiles_x) & (ty0 < cfg.tiles_y))
+    tx0 = jnp.clip(tx0, 0, cfg.tiles_x - 1)
+    tx1 = jnp.clip(tx1, 0, cfg.tiles_x - 1)
+    ty0 = jnp.clip(ty0, 0, cfg.tiles_y - 1)
+    ty1 = jnp.clip(ty1, 0, cfg.tiles_y - 1)
+    counts = jnp.where(inside, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
+    return tx0, tx1, ty0, ty1, counts.astype(jnp.int32)
+
+
+def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
+                 capacity: int) -> BinnedPairs:
+    """Expand splats into depth-sorted per-tile pair lists (static shapes)."""
+    num_tiles = cfg.num_tiles
+    tile_bits = max(1, (num_tiles - 1).bit_length())
+    assert tile_bits + cfg.sort_bits <= 31, (
+        f"tile bits ({tile_bits}) + sort bits ({cfg.sort_bits}) must fit an "
+        f"int32 key; lower sort_bits or use larger tiles")
+
+    tx0, tx1, ty0, ty1, counts = tile_bounds(proj, cfg)
+    depth_q = quantize_depth(proj.depth, proj.mask, cfg.sort_bits)
+
+    offsets = jnp.cumsum(counts) - counts          # exclusive prefix sum
+    total = offsets[-1] + counts[-1]
+    overflow = jnp.maximum(total - capacity, 0)
+
+    # Pair slot i -> owning splat via binary search over the offset intervals.
+    slots = jnp.arange(capacity, dtype=jnp.int32)
+    splat_of = jnp.searchsorted(offsets, slots,
+                                side="right").astype(jnp.int32) - 1
+    splat_of = jnp.clip(splat_of, 0, counts.shape[0] - 1)
+    valid = slots < total
+
+    rank = slots - offsets[splat_of]
+    width = (tx1 - tx0 + 1)[splat_of]
+    dy, dx = rank // width, rank % width
+    tile = ((ty0[splat_of] + dy) * cfg.tiles_x + (tx0[splat_of] + dx))
+
+    key = (tile << cfg.sort_bits) | depth_q[splat_of]
+    key = jnp.where(valid, key, jnp.int32(2147483647))
+
+    sorted_key, sorted_idx = jax.lax.sort(
+        (key, splat_of), dimension=0, num_keys=1, is_stable=True)
+    sorted_tile = sorted_key >> cfg.sort_bits
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+
+    return BinnedPairs(
+        sorted_splat_idx=sorted_idx,
+        pair_valid=jnp.arange(capacity) < jnp.minimum(total, capacity),
+        tile_starts=starts,
+        tile_counts=ends - starts,
+        total_pairs=total,
+        overflow=overflow,
+    )

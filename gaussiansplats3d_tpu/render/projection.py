@@ -1,0 +1,262 @@
+"""Splat projection: 3D Gaussian -> screen-space Gaussian (EWA approximation).
+
+Re-implements, as a single fused vectorized JAX function, what the reference
+does per-vertex in GLSL (/root/reference/src/splatmesh/SplatMaterial3D.js:80-214
+and SplatMaterial.js:112-342):
+
+1. model -> view -> clip transform with a 1.2*w clip-space cull
+2. 3D covariance Sigma = (R S)(R S)^T (optionally transformed per scene)
+3. EWA Jacobian J (perspective, SplatMaterial3D.js:121-127; or orthographic,
+   :112-116); 2D covariance Sigma' = (J M) Sigma (J M)^T where M is the 3x3
+   model-view block
+4. 2D kernel dilation (+kernel2DSize on the diagonal) and the optional
+   antialiasing opacity compensation sqrt(det_orig / det_blur)
+   (SplatMaterial3D.js:137-151)
+5. 2x2 eigen decomposition with the max(0.1, ...) discriminant guard, basis
+   extents sqrt(8 * lambda) clamped to maxScreenSpaceSplatSize and scaled by
+   splatScale (SplatMaterial3D.js:174-196)
+6. spherical-harmonics view-dependent color (SplatMaterial.js:263-342)
+7. depth key = third row of the model-view-projection times the center, the
+   same quantity the WASM sorter uses (/root/reference/src/worker/sorter.cpp)
+
+The rasterizer evaluates Gaussians with the *conic* (inverse 2D covariance)
+instead of the reference's eigen-basis quad coordinates — mathematically the
+same Gaussian exp(-0.5 * d^T Sigma'^-1 d) with the same cutoff at 8 = (sqrt(8)
+sigma)^2.  `splat_scale` scales the splat spatially, which for the conic means
+Sigma_eval = splat_scale^2 * Sigma_dilated.
+
+Pixel coordinates are GL-oriented (origin bottom-left, y up); the compositor
+flips rows when emitting the final image array.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import (
+    CLIP_FACTOR,
+    EIGENVALUE_GUARD,
+    POINT_CLOUD_EIGENVALUE,
+    SQRT8,
+)
+from ..core import math3d
+from ..core.covariance import covariance_from_scale_quat
+from ..core.sh import eval_sh_color
+from ..core.types import Camera, RenderConfig, SplatData, derive_focal
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class ProjectedSplats:
+    """Per-splat screen-space quantities (a JAX pytree).
+
+    All arrays have leading dimension N.  Culled splats have ``opacity == 0``
+    and ``radius == 0`` so they bin nowhere and contribute nothing.
+    """
+
+    mean2d: jnp.ndarray    # [N, 2] pixel coords (GL orientation, y up)
+    conic: jnp.ndarray     # [N, 3] (a, b, c): G = a dx^2 + 2 b dx dy + c dy^2
+    color: jnp.ndarray     # [N, 3] view-dependent RGB
+    opacity: jnp.ndarray   # [N]
+    depth: jnp.ndarray     # [N] clip-space z (pre-divide), +inf when culled
+    radius: jnp.ndarray    # [N, 2] conservative pixel AABB half-extents
+    mask: jnp.ndarray      # [N] bool visibility
+
+
+def _eval_covariance2d(cov2d: jnp.ndarray, cfg: RenderConfig):
+    """Dilate the 2x2 covariance and compute compensation + eigen extents.
+
+    Returns (cov_eval3 (a, b, c) incl. splat_scale^2, compensation, radius,
+    valid) where radius is the [N, 2] pixel AABB of the eigen-clamped quad.
+    """
+    a0, b0, c0 = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    det_orig = a0 * c0 - b0 * b0
+    a = a0 + cfg.kernel_2d_size
+    c = c0 + cfg.kernel_2d_size
+    b = b0
+    det_blur = a * c - b * b
+    if cfg.antialiased:
+        compensation = jnp.sqrt(jnp.maximum(det_orig / det_blur, 0.0))
+    else:
+        compensation = jnp.ones_like(det_orig)
+
+    half_trace = 0.5 * (a + c)
+    term2 = jnp.sqrt(jnp.maximum(EIGENVALUE_GUARD,
+                                 half_trace * half_trace - det_blur))
+    lam1 = half_trace + term2
+    lam2 = half_trace - term2
+    if cfg.point_cloud_mode:
+        # Point-cloud mode overrides the eigenvalues *before* the lambda2
+        # cull (SplatMaterial3D.js:184-188), so nothing is culled here.
+        lam1 = jnp.full_like(lam1, POINT_CLOUD_EIGENVALUE)
+        lam2_eval = jnp.full_like(lam2, POINT_CLOUD_EIGENVALUE)
+        valid = jnp.ones_like(lam2, dtype=bool)
+    else:
+        lam2_eval = lam2
+        valid = lam2 > 0.0
+
+    # Eigenvector of lam1; (b, lam1 - a) never vanishes thanks to the
+    # discriminant guard (lam1 - a >= term2 when a == c).
+    ev1 = math3d.normalize(jnp.stack([b, lam1 - a], axis=-1))
+    ev2 = jnp.stack([ev1[..., 1], -ev1[..., 0]], axis=-1)
+    s = cfg.splat_scale
+    ext1 = jnp.minimum(SQRT8 * jnp.sqrt(jnp.maximum(lam1, 0.0)),
+                       cfg.max_screen_space_splat_size) * s
+    ext2 = jnp.minimum(SQRT8 * jnp.sqrt(jnp.maximum(lam2_eval, 0.0)),
+                       cfg.max_screen_space_splat_size) * s
+    bv1 = ev1 * ext1[..., None]
+    bv2 = ev2 * ext2[..., None]
+    radius = jnp.abs(bv1) + jnp.abs(bv2)     # quad AABB half-extents
+
+    if cfg.point_cloud_mode:
+        # Both eigenvalues forced to a constant => isotropic evaluation.
+        pc = POINT_CLOUD_EIGENVALUE
+        a_eval = jnp.full_like(a, pc)
+        b_eval = jnp.zeros_like(b)
+        c_eval = jnp.full_like(c, pc)
+    else:
+        a_eval, b_eval, c_eval = a, b, c
+    s2 = s * s
+    cov_eval = jnp.stack([a_eval * s2, b_eval * s2, c_eval * s2], axis=-1)
+    return cov_eval, compensation, radius, valid
+
+
+def conic_from_cov(cov: jnp.ndarray) -> jnp.ndarray:
+    """Invert symmetric 2x2 covariances given as (a, b, c) triplets."""
+    a, b, c = cov[..., 0], cov[..., 1], cov[..., 2]
+    det = a * c - b * b
+    inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    return jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+
+def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
+                   transforms: jnp.ndarray | None = None,
+                   scene_indices: jnp.ndarray | None = None,
+                   scene_opacities: jnp.ndarray | None = None,
+                   scene_visibility: jnp.ndarray | None = None,
+                   ) -> ProjectedSplats:
+    """Project all splats for one camera.
+
+    Args:
+      transforms: optional ``[S, 4, 4]`` per-scene model transforms
+        (dynamic-mode parity with SplatMaterial.js:140-147).
+      scene_indices: ``[N] int32`` mapping splats to scenes (required when
+        `transforms` is given and S > 1).
+      scene_opacities / scene_visibility: optional ``[S]`` per-scene opacity
+        multiplier and visibility mask (enableOptionalEffects parity,
+        SplatMaterial.js:129-138).
+    """
+    n = splats.num_splats
+    w, h = cfg.width, cfg.height
+    focal = derive_focal(camera.proj, w, h)
+
+    means = splats.means
+    if transforms is not None:
+        if scene_indices is None:
+            tf = jnp.broadcast_to(transforms.reshape(-1, 4, 4)[0], (1, 4, 4))
+            per_splat_tf = jnp.broadcast_to(tf, (n, 4, 4))
+            scene_ids = jnp.zeros((n,), jnp.int32)
+        else:
+            scene_ids = scene_indices
+            per_splat_tf = transforms[scene_ids]
+        mv = camera.view[None] @ per_splat_tf            # [N, 4, 4]
+        m3 = mv[:, :3, :3]
+        view_center = jnp.einsum("nij,nj->ni", m3, means) + mv[:, :3, 3]
+        # SH view directions are evaluated in model-local space:
+        # normalize(center - inverse(transform) * cameraPosition)
+        # (SplatMaterial.js:179-187).
+        inv_tf = jnp.linalg.inv(per_splat_tf)
+        local_cam = jnp.einsum("nij,j->ni", inv_tf[:, :3, :3], camera.cam_pos) \
+            + inv_tf[:, :3, 3]
+        dirs = math3d.normalize(means - local_cam)
+    else:
+        scene_ids = None
+        m3 = camera.view[:3, :3]
+        view_center = means @ m3.T + camera.view[:3, 3]
+        dirs = math3d.normalize(means - camera.cam_pos)
+
+    clip = view_center @ camera.proj[:3, :3].T + camera.proj[:3, 3]
+    clip_w = view_center @ camera.proj[3, :3] + camera.proj[3, 3]
+    lim = CLIP_FACTOR * clip_w
+    visible = ((clip[:, 2] >= -lim) & (clip[:, 0] >= -lim) & (clip[:, 0] <= lim)
+               & (clip[:, 1] >= -lim) & (clip[:, 1] <= lim))
+
+    safe_w = jnp.where(jnp.abs(clip_w) < 1e-9, 1e-9, clip_w)
+    ndc = clip[:, :2] / safe_w[:, None]
+    mean2d = (ndc + 1.0) * 0.5 * jnp.array([w, h], jnp.float32)
+
+    # --- EWA 2D covariance ---
+    cov3d = covariance_from_scale_quat(splats.scales, splats.quats)  # [N,3,3]
+    if cfg.orthographic:
+        # J = diag(fx, fy): pixels per world unit (SplatMaterial3D.js:112-116).
+        if transforms is None:
+            jw = jnp.broadcast_to((m3[:2, :] * focal[:, None])[None], (n, 2, 3))
+        else:
+            jw = m3[:, :2, :] * focal[None, :, None]
+    else:
+        z = view_center[:, 2]
+        z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        inv_z = 1.0 / z
+        x, y = view_center[:, 0], view_center[:, 1]
+        # Rows of J (first two; third row is zero and drops out):
+        # [fx/z, 0, -fx x / z^2], [0, fy/z, -fy y / z^2]
+        j00 = focal[0] * inv_z
+        j02 = -focal[0] * x * inv_z * inv_z
+        j11 = focal[1] * inv_z
+        j12 = -focal[1] * y * inv_z * inv_z
+        if transforms is None:
+            m3b = jnp.broadcast_to(m3[None], (n, 3, 3))
+        else:
+            m3b = m3
+        # jw = J[:2] @ M3  ([N, 2, 3])
+        jw_row0 = j00[:, None] * m3b[:, 0, :] + j02[:, None] * m3b[:, 2, :]
+        jw_row1 = j11[:, None] * m3b[:, 1, :] + j12[:, None] * m3b[:, 2, :]
+        jw = jnp.stack([jw_row0, jw_row1], axis=1)
+
+    t0 = jnp.einsum("nij,njk->nik", jw, cov3d)           # [N, 2, 3]
+    cov2d_full = jnp.einsum("nij,nkj->nik", t0, jw)      # [N, 2, 2]
+    cov2d = jnp.stack([cov2d_full[:, 0, 0], cov2d_full[:, 0, 1],
+                       cov2d_full[:, 1, 1]], axis=-1)
+
+    cov_eval, compensation, radius, eig_valid = _eval_covariance2d(cov2d, cfg)
+    conic = conic_from_cov(cov_eval)
+
+    color = eval_sh_color(splats.colors[:, :3], splats.sh, dirs, cfg.sh_degree)
+    opacity = splats.colors[:, 3] * compensation
+    if scene_ids is not None and scene_opacities is not None:
+        sc_op = scene_opacities[scene_ids]
+        if scene_visibility is not None:
+            sc_op = sc_op * scene_visibility[scene_ids].astype(sc_op.dtype)
+        visible = visible & (sc_op > 0.01)
+        opacity = opacity * sc_op
+    if cfg.antialiased:
+        visible = visible & (opacity >= cfg.min_alpha)
+    visible = visible & eig_valid & (opacity >= cfg.min_alpha)
+
+    depth = jnp.where(visible, clip[:, 2], jnp.inf)
+    opacity = jnp.where(visible, opacity, 0.0)
+    radius = jnp.where(visible[:, None], radius, 0.0)
+
+    return ProjectedSplats(mean2d=mean2d, conic=conic, color=color,
+                           opacity=opacity, depth=depth, radius=radius,
+                           mask=visible)
+
+
+def quantize_depth(depth: jnp.ndarray, mask: jnp.ndarray,
+                   bits: int) -> jnp.ndarray:
+    """Map depths to integer buckets exactly like the WASM sorter's range map
+    (sorter.cpp:142-149): bucket = (d - min) * (2^bits - 1) / (max - min).
+
+    Invisible splats get the maximum bucket so they sort last.
+    """
+    big = jnp.float32(3.0e38)
+    dmin = jnp.min(jnp.where(mask, depth, big))
+    dmax = jnp.max(jnp.where(mask, depth, -big))
+    span = jnp.maximum(dmax - dmin, 1e-20)
+    nbuckets = (1 << bits) - 1
+    q = jnp.floor((depth - dmin) * (nbuckets / span)).astype(jnp.int32)
+    q = jnp.clip(q, 0, nbuckets)
+    return jnp.where(mask, q, nbuckets)
