@@ -10,5 +10,6 @@ and multi-chip sharding via jax.sharding meshes.
 from .constants import MAX_SCENES  # noqa: F401
 from .core.types import Camera, RenderConfig, SplatData, random_splats  # noqa: F401
 from .render.oracle import reference_render  # noqa: F401
+from .render.pipeline import render  # noqa: F401
 
 __version__ = "0.1.0"

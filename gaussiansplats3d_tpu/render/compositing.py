@@ -33,12 +33,14 @@ from ..constants import ALPHA_CLAMP, GAUSSIAN_CUTOFF
 
 def splat_alphas(px: jnp.ndarray, py: jnp.ndarray,
                  mean2d: jnp.ndarray, conic: jnp.ndarray,
-                 opacity: jnp.ndarray, min_alpha: float) -> jnp.ndarray:
+                 opacity: jnp.ndarray, radius: jnp.ndarray,
+                 min_alpha: float) -> jnp.ndarray:
     """Evaluate per-(splat, pixel) alphas.
 
     Args:
       px, py: ``[P]`` pixel center coordinates (GL orientation).
-      mean2d: ``[C, 2]``; conic: ``[C, 3]``; opacity: ``[C]``.
+      mean2d: ``[C, 2]``; conic: ``[C, 3]``; opacity: ``[C]``;
+      radius: ``[C, 2]`` support-box half-extents (hard cutoff).
     Returns ``[C, P]`` alphas.
     """
     dx = px[None, :] - mean2d[:, 0:1]
@@ -46,17 +48,21 @@ def splat_alphas(px: jnp.ndarray, py: jnp.ndarray,
     g = (conic[:, 0:1] * dx * dx + 2.0 * conic[:, 1:2] * dx * dy
          + conic[:, 2:3] * dy * dy)
     alpha = opacity[:, None] * jnp.exp(-0.5 * g)
-    alpha = jnp.where((g > GAUSSIAN_CUTOFF) | (alpha < min_alpha), 0.0, alpha)
+    outside = ((g > GAUSSIAN_CUTOFF) | (alpha < min_alpha)
+               | (jnp.abs(dx) > radius[:, 0:1])
+               | (jnp.abs(dy) > radius[:, 1:2]))
+    alpha = jnp.where(outside, 0.0, alpha)
     return jnp.minimum(alpha, ALPHA_CLAMP)
 
 
-def composite_chunk(px, py, mean2d, conic, color, opacity, min_alpha,
+def composite_chunk(px, py, mean2d, conic, color, opacity, radius, min_alpha,
                     color_acc, trans):
     """Composite one chunk of C splats (front-to-back order) over P pixels.
 
     Returns updated (color_acc [P, 3], trans [P]).
     """
-    alpha = splat_alphas(px, py, mean2d, conic, opacity, min_alpha)  # [C, P]
+    alpha = splat_alphas(px, py, mean2d, conic, opacity, radius,
+                         min_alpha)  # [C, P]
     log_omega = jnp.log1p(-alpha)
     # Exclusive prefix sum along the splat axis: log prod_{j<i} (1 - alpha_j).
     excl = jnp.cumsum(log_omega, axis=0) - log_omega
@@ -67,7 +73,7 @@ def composite_chunk(px, py, mean2d, conic, color, opacity, min_alpha,
     return color_acc, trans
 
 
-def composite_sorted(px, py, mean2d, conic, color, opacity, min_alpha,
+def composite_sorted(px, py, mean2d, conic, color, opacity, radius, min_alpha,
                      chunk_size: int):
     """Composite depth-sorted splats over pixels, chunked and checkpointed.
 
@@ -83,9 +89,9 @@ def composite_sorted(px, py, mean2d, conic, color, opacity, min_alpha,
 
     def body(carry, chunk):
         color_acc, trans = carry
-        m2, cn, cl, op = chunk
+        m2, cn, cl, op, rd = chunk
         color_acc, trans = composite_chunk(
-            px, py, m2, cn, cl, op, min_alpha, color_acc, trans)
+            px, py, m2, cn, cl, op, rd, min_alpha, color_acc, trans)
         return (color_acc, trans), None
 
     chunks = (
@@ -93,6 +99,7 @@ def composite_sorted(px, py, mean2d, conic, color, opacity, min_alpha,
         conic.reshape(num_chunks, chunk_size, 3),
         color.reshape(num_chunks, chunk_size, 3),
         opacity.reshape(num_chunks, chunk_size),
+        radius.reshape(num_chunks, chunk_size, 2),
     )
     init = (jnp.zeros((p, 3), jnp.float32), jnp.ones((p,), jnp.float32))
     (color_acc, trans), _ = jax.lax.scan(

@@ -45,6 +45,7 @@ def reference_render(splats: SplatData, camera: Camera, cfg: RenderConfig,
     conic = proj.conic[order]
     color = proj.color[order]
     opacity = proj.opacity[order]
+    radius = proj.radius[order]
 
     n = mean2d.shape[0]
     c = cfg.chunk_size
@@ -55,10 +56,11 @@ def reference_render(splats: SplatData, camera: Camera, cfg: RenderConfig,
                         constant_values=1.0)  # benign PD conic
         color = jnp.pad(color, ((0, pad), (0, 0)))
         opacity = jnp.pad(opacity, ((0, pad),))
+        radius = jnp.pad(radius, ((0, pad), (0, 0)))
 
     px, py = pixel_grid(cfg.width, cfg.height)
     color_acc, trans = composite_sorted(
-        px, py, mean2d, conic, color, opacity, cfg.min_alpha, c)
+        px, py, mean2d, conic, color, opacity, radius, cfg.min_alpha, c)
 
     bg = jnp.asarray(cfg.background, jnp.float32)
     color_img = color_acc + trans[:, None] * bg[None, :]

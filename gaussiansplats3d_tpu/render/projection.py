@@ -98,18 +98,8 @@ def _eval_covariance2d(cov2d: jnp.ndarray, cfg: RenderConfig):
         lam2_eval = lam2
         valid = lam2 > 0.0
 
-    # Eigenvector of lam1; (b, lam1 - a) never vanishes thanks to the
-    # discriminant guard (lam1 - a >= term2 when a == c).
-    ev1 = math3d.normalize(jnp.stack([b, lam1 - a], axis=-1))
-    ev2 = jnp.stack([ev1[..., 1], -ev1[..., 0]], axis=-1)
+    del lam1  # the eigen pair is only needed for the lam2 > 0 cull
     s = cfg.splat_scale
-    ext1 = jnp.minimum(SQRT8 * jnp.sqrt(jnp.maximum(lam1, 0.0)),
-                       cfg.max_screen_space_splat_size) * s
-    ext2 = jnp.minimum(SQRT8 * jnp.sqrt(jnp.maximum(lam2_eval, 0.0)),
-                       cfg.max_screen_space_splat_size) * s
-    bv1 = ev1 * ext1[..., None]
-    bv2 = ev2 * ext2[..., None]
-    radius = jnp.abs(bv1) + jnp.abs(bv2)     # quad AABB half-extents
 
     if cfg.point_cloud_mode:
         # Both eigenvalues forced to a constant => isotropic evaluation.
@@ -121,6 +111,16 @@ def _eval_covariance2d(cov2d: jnp.ndarray, cfg: RenderConfig):
         a_eval, b_eval, c_eval = a, b, c
     s2 = s * s
     cov_eval = jnp.stack([a_eval * s2, b_eval * s2, c_eval * s2], axis=-1)
+
+    # Support half-extents: the AABB of the G = 8 ellipse of the *evaluated*
+    # covariance is exactly (sqrt(8 Sigma_xx), sqrt(8 Sigma_yy)); the
+    # max-screen-size clamp truncates the support like the reference's
+    # clamped quad does (SplatMaterial3D.js:189-196).  Both compositor paths
+    # apply this box as a hard cutoff, so binning by it is lossless.
+    max_ext = cfg.max_screen_space_splat_size * s
+    rx = jnp.minimum(SQRT8 * jnp.sqrt(jnp.maximum(a_eval, 0.0)) * s, max_ext)
+    ry = jnp.minimum(SQRT8 * jnp.sqrt(jnp.maximum(c_eval, 0.0)) * s, max_ext)
+    radius = jnp.stack([rx, ry], axis=-1)
     return cov_eval, compensation, radius, valid
 
 

@@ -61,12 +61,12 @@ def _gather_chunk(records, starts, k, cfg, capacity):
     c = cfg.chunk_size
     local = k * c + jnp.arange(c, dtype=jnp.int32)
     idx = jnp.clip(starts[:, None] + local[None, :], 0, capacity - 1)
-    mean2d_s, conic_s, color_s, opacity_s = records
+    mean2d_s, conic_s, color_s, opacity_s, radius_s = records
     return (mean2d_s[idx], conic_s[idx], color_s[idx], opacity_s[idx],
-            local)
+            radius_s[idx], local)
 
 
-def _chunk_alpha(m2, con, opa, px, py, min_alpha):
+def _chunk_alpha(m2, con, opa, rad, px, py, min_alpha):
     """Alpha evaluation for a [G, C] chunk over [G, P] pixels -> [G, C, P].
 
     Also returns (dx, dy, g) for the backward chain rule.
@@ -76,27 +76,31 @@ def _chunk_alpha(m2, con, opa, px, py, min_alpha):
     a, b, c = con[..., 0:1], con[..., 1:2], con[..., 2:3]
     g = a * dx * dx + 2.0 * b * dx * dy + c * dy * dy
     alpha = opa[..., None] * jnp.exp(-0.5 * g)
-    alpha = jnp.where((g > GAUSSIAN_CUTOFF) | (alpha < min_alpha), 0.0, alpha)
+    outside = ((g > GAUSSIAN_CUTOFF) | (alpha < min_alpha)
+               | (jnp.abs(dx) > rad[..., 0:1]) | (jnp.abs(dy) > rad[..., 1:2]))
+    alpha = jnp.where(outside, 0.0, alpha)
     alpha = jnp.minimum(alpha, ALPHA_CLAMP)
     return alpha, dx, dy, g
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def rasterize_pairs(cfg: RenderConfig, capacity: int,
-                    mean2d_s, conic_s, color_s, opacity_s,
+                    mean2d_s, conic_s, color_s, opacity_s, radius_s,
                     tile_starts, tile_counts
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite sorted pair records into tile blocks.
 
     Args:
-      mean2d_s [cap, 2], conic_s [cap, 3], color_s [cap, 3], opacity_s [cap]:
+      mean2d_s [cap, 2], conic_s [cap, 3], color_s [cap, 3], opacity_s [cap],
+      radius_s [cap, 2]:
         pair records in sorted order (invalid pairs must have opacity 0).
+        radius_s is the hard support-box cutoff (no gradient flows through it).
       tile_starts / tile_counts: [num_tiles] ranges into the pair list.
 
     Returns (tile_colors [T, P, 3], tile_logtrans [T, P]) with P = tile_size^2.
     """
     out, _ = _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s,
-                                 opacity_s, tile_starts, tile_counts)
+                                 opacity_s, radius_s, tile_starts, tile_counts)
     return out
 
 
@@ -116,8 +120,8 @@ def _pad_tiles(cfg, tile_starts, tile_counts):
 
 
 def _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s, opacity_s,
-                        tile_starts, tile_counts):
-    records = (mean2d_s, conic_s, color_s, opacity_s)
+                        radius_s, tile_starts, tile_counts):
+    records = (mean2d_s, conic_s, color_s, opacity_s, radius_s)
     starts_p, counts_p, tile_ids, t = _pad_tiles(cfg, tile_starts, tile_counts)
     c = cfg.chunk_size
     p = cfg.tile_size * cfg.tile_size
@@ -133,10 +137,11 @@ def _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s, opacity_s,
 
         def body(state):
             k, col, logt = state
-            m2, con, cl, op, local = _gather_chunk(records, starts, k, cfg,
-                                                   capacity)
+            m2, con, cl, op, rad, local = _gather_chunk(records, starts, k,
+                                                        cfg, capacity)
             op = op * (local[None, :] < counts[:, None])
-            alpha, _, _, _ = _chunk_alpha(m2, con, op, px, py, cfg.min_alpha)
+            alpha, _, _, _ = _chunk_alpha(m2, con, op, rad, px, py,
+                                          cfg.min_alpha)
             logw = jnp.log1p(-alpha)                       # [G, C, P]
             excl = jnp.cumsum(logw, axis=1) - logw
             w = alpha * jnp.exp(excl + logt[:, None, :])
@@ -155,22 +160,22 @@ def _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s, opacity_s,
     _, (cols, logts) = jax.lax.scan(render_group, None, groups)
     tile_colors = cols.reshape(-1, p, 3)[:t]
     tile_logtrans = logts.reshape(-1, p)[:t]
-    residuals = (mean2d_s, conic_s, color_s, opacity_s, tile_starts,
-                 tile_counts, tile_logtrans)
+    residuals = (mean2d_s, conic_s, color_s, opacity_s, radius_s,
+                 tile_starts, tile_counts, tile_logtrans)
     return (tile_colors, tile_logtrans), residuals
 
 
 def _rasterize_fwd(cfg, capacity, mean2d_s, conic_s, color_s, opacity_s,
-                   tile_starts, tile_counts):
+                   radius_s, tile_starts, tile_counts):
     return _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s,
-                               opacity_s, tile_starts, tile_counts)
+                               opacity_s, radius_s, tile_starts, tile_counts)
 
 
 def _rasterize_bwd(cfg, capacity, residuals, cotangents):
-    (mean2d_s, conic_s, color_s, opacity_s, tile_starts, tile_counts,
-     tile_logtrans) = residuals
+    (mean2d_s, conic_s, color_s, opacity_s, radius_s, tile_starts,
+     tile_counts, tile_logtrans) = residuals
     g_col, g_logt = cotangents
-    records = (mean2d_s, conic_s, color_s, opacity_s)
+    records = (mean2d_s, conic_s, color_s, opacity_s, radius_s)
     starts_p, counts_p, tile_ids, t = _pad_tiles(cfg, tile_starts, tile_counts)
     c = cfg.chunk_size
     p = cfg.tile_size * cfg.tile_size
@@ -205,11 +210,11 @@ def _rasterize_bwd(cfg, capacity, residuals, cotangents):
         def body(state):
             k, logt_after, sg, gm, gc, gcl, gop = state
             k = k - 1
-            m2, con, cl, op, local = _gather_chunk(records, starts, k, cfg,
-                                                   capacity)
+            m2, con, cl, op, rad, local = _gather_chunk(records, starts, k,
+                                                        cfg, capacity)
             mask = (local[None, :] < counts[:, None])
             op_m = op * mask
-            alpha, dx, dy, quad = _chunk_alpha(m2, con, op_m, px, py,
+            alpha, dx, dy, quad = _chunk_alpha(m2, con, op_m, rad, px, py,
                                                cfg.min_alpha)
             logw = jnp.log1p(-alpha)
             chunk_sum = jnp.sum(logw, axis=1)
@@ -232,7 +237,7 @@ def _rasterize_bwd(cfg, capacity, residuals, cotangents):
 
             one_minus = jnp.maximum(1.0 - alpha, 1e-6)
             d_alpha = (t_i * cg - sg_i / one_minus
-                       - (glogt_tile / one_minus)[:, None, :])
+                       - glogt_tile[:, None, :] / one_minus)
             # gate: no grad through the cutoff/min-alpha mask or alpha clamp
             gate = (alpha > 0.0) & (alpha < ALPHA_CLAMP)
             d_alpha = jnp.where(gate, d_alpha, 0.0)
@@ -278,7 +283,7 @@ def _rasterize_bwd(cfg, capacity, residuals, cotangents):
     (gm, gc, gcl, gop), _ = jax.lax.scan(
         bwd_group, (grad_mean2d, grad_conic, grad_color, grad_opacity),
         groups)
-    return gm, gc, gcl, gop, None, None
+    return gm, gc, gcl, gop, jnp.zeros_like(radius_s), None, None
 
 
 rasterize_pairs.defvjp(_rasterize_fwd, _rasterize_bwd)

@@ -1,0 +1,99 @@
+"""Tiled fast path vs. the oracle renderer: forward images and gradients.
+
+This is the core correctness contract (BASELINE.md acceptance config 1): the
+tile-binned pipeline must reproduce the globally-sorted reference compositor.
+Differences can only come from sort-order ties within a depth bucket, so we
+use enough sort bits and a loose-but-tight-enough tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+import gaussiansplats3d_tpu as gs
+
+
+def make_scene(n=500, sh_degree=0, seed=0):
+    return gs.random_splats(jax.random.PRNGKey(seed), n, sh_degree=sh_degree)
+
+
+def make_camera(aspect=1.0, eye=(2.0, 1.2, 2.4)):
+    return gs.Camera.look_at(eye, (0.0, 0.0, 0.0), fov_y_deg=60.0,
+                             aspect=aspect)
+
+
+@pytest.mark.parametrize("sh_degree", [0, 2])
+def test_tiled_matches_oracle_forward(sh_degree):
+    splats = make_scene(600, sh_degree=sh_degree)
+    cfg = gs.RenderConfig(width=128, height=96, sh_degree=sh_degree,
+                          sort_bits=20, background=(0.1, 0.2, 0.3))
+    cam = make_camera(aspect=128 / 96)
+    ref = gs.reference_render(splats, cam, cfg)
+    out = gs.render(splats, cam, cfg, return_aux=True)
+    assert int(out["overflow"]) == 0
+    assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 2e-3
+    assert jnp.max(jnp.abs(out["alpha"] - ref["alpha"])) < 2e-3
+
+
+def test_tiled_matches_oracle_nonsquare_offgrid():
+    # width/height not multiples of tile_size exercise the crop path.
+    splats = make_scene(400)
+    cfg = gs.RenderConfig(width=100, height=75, sort_bits=20)
+    cam = make_camera(aspect=100 / 75)
+    ref = gs.reference_render(splats, cam, cfg)
+    out = gs.render(splats, cam, cfg)
+    assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 2e-3
+
+
+def test_tiled_gradients_match_oracle():
+    splats = make_scene(300, sh_degree=1)
+    cfg = gs.RenderConfig(width=64, height=64, sh_degree=1, sort_bits=20)
+    cam = make_camera()
+    target = jnp.zeros((64, 64, 3))
+
+    def loss_tiled(s):
+        return jnp.mean((gs.render(s, cam, cfg)["color"] - target) ** 2)
+
+    def loss_oracle(s):
+        return jnp.mean((gs.reference_render(s, cam, cfg)["color"]
+                         - target) ** 2)
+
+    g_t = jax.grad(loss_tiled)(splats)
+    g_o = jax.grad(loss_oracle)(splats)
+    for name in ("means", "scales", "quats", "colors", "sh"):
+        gt = getattr(g_t, name)
+        go = getattr(g_o, name)
+        scale = jnp.maximum(jnp.max(jnp.abs(go)), 1e-8)
+        rel = jnp.max(jnp.abs(gt - go)) / scale
+        assert rel < 5e-3, (name, float(rel))
+        assert jnp.all(jnp.isfinite(gt)), name
+    assert float(jnp.max(jnp.abs(g_t.means))) > 0.0
+
+
+def test_render_facing_away_is_background():
+    splats = make_scene(200)
+    cfg = gs.RenderConfig(width=64, height=64, background=(0.25, 0.5, 0.75))
+    cam = gs.Camera.look_at((0.0, 0.0, 10.0), (0.0, 0.0, 20.0))
+    out = gs.render(splats, cam, cfg)
+    bg = jnp.asarray(cfg.background)
+    assert jnp.allclose(out["color"], bg[None, None, :], atol=1e-6)
+    assert jnp.allclose(out["alpha"], 0.0, atol=1e-6)
+
+
+def test_overflow_reported_not_crashing():
+    splats = make_scene(500)
+    cfg = gs.RenderConfig(width=64, height=64, max_pairs=256)
+    cam = make_camera()
+    out = gs.render(splats, cam, cfg, return_aux=True)
+    assert int(out["overflow"]) > 0
+    assert jnp.all(jnp.isfinite(out["color"]))
+
+
+def test_point_cloud_mode_tiled():
+    splats = make_scene(200)
+    cfg = gs.RenderConfig(width=64, height=64, point_cloud_mode=True,
+                          sort_bits=20)
+    cam = make_camera()
+    ref = gs.reference_render(splats, cam, cfg)
+    out = gs.render(splats, cam, cfg)
+    assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 2e-3
