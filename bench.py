@@ -1,0 +1,71 @@
+"""Benchmark: fwd+bwd splat-render throughput at 1080p on the local chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Msplats/s", "vs_baseline": N}
+
+Metric: million splats processed per second through a full forward+backward
+render (loss = mean image error, gradients w.r.t. every splat attribute) at
+1920x1080 — BASELINE.md's headline per-chip number.
+
+`vs_baseline`: the reference has no published throughput (BASELINE.md); its
+known bottleneck is the single-core CPU/WASM counting sort
+(/root/reference/README.md:36-42, src/worker/sorter.cpp), which processes
+roughly 10 Msplats/s forward-only on a desktop core (a ~100 ms sort of a
+1M-splat scene, the README's "sub-optimal" regime).  We report our
+fwd+bwd throughput against that 10 Msplats/s forward-only bound.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+import gaussiansplats3d_tpu as gs  # noqa: E402
+
+N = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2_000_000
+WIDTH, HEIGHT = 1920, 1080
+SH_DEGREE = 1
+REFERENCE_CPU_SORT_MSPLATS_PER_S = 10.0
+
+
+def main():
+    cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=SH_DEGREE,
+                          sort_bits=16, pair_multiplier=4.0)
+    splats = gs.random_splats(jax.random.PRNGKey(0), N, sh_degree=SH_DEGREE,
+                              extent=2.0)
+    camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
+                               fov_y_deg=60.0, aspect=WIDTH / HEIGHT)
+
+    def loss_fn(s):
+        img = gs.render(s, camera, cfg)["color"]
+        return jnp.mean(img * img)
+
+    step = jax.jit(jax.grad(loss_fn))
+
+    g = step(splats)                       # compile + warmup
+    jax.block_until_ready(g.means)
+
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(splats)
+    jax.block_until_ready(g.means)
+    dt = (time.perf_counter() - t0) / iters
+
+    msplats_per_s = N / dt / 1e6
+    print(json.dumps({
+        "metric": "fwd+bwd Msplats/s/chip @1080p "
+                  f"(N={N}, SH{SH_DEGREE})",
+        "value": round(msplats_per_s, 3),
+        "unit": "Msplats/s",
+        "vs_baseline": round(
+            msplats_per_s / REFERENCE_CPU_SORT_MSPLATS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

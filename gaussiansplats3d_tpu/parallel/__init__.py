@@ -1,0 +1,16 @@
+"""Multi-chip / multi-host sharding: device meshes, the sharded render
+pipeline, and the distributed training step.
+
+The reference is a single-browser renderer whose only concurrency is a sort
+web-worker + SharedArrayBuffer (/root/reference/src/worker/SortWorker.js);
+this package is the TPU-native replacement at datacenter scale: a 2-D
+``(splat, tile)`` jax.sharding Mesh where projection/SH shard over splats,
+binning/sort/compositing shard over image-tile rows, and the exchange
+between the two phases is an all_gather of compact projected-splat records
+over the splat axis (ICI), with gradient reduction handled by shard_map's
+collective transposes.
+"""
+
+from .mesh import make_mesh  # noqa: F401
+from .sharded import sharded_render, sharded_render_tiles  # noqa: F401
+from .train import TrainState, make_train_step  # noqa: F401

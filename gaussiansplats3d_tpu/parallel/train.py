@@ -1,0 +1,144 @@
+"""Differentiable splat optimization ("training") over the device mesh.
+
+The reference renderer has no backward pass at all; this module supplies the
+BASELINE.md north-star capability: fit splat parameters (means, scales,
+rotations, colors, opacities, SH) to target images by gradient descent, with
+the forward+backward render sharded over the (splat, tile) mesh and the
+parameter-gradient reduction riding the shard_map collective transposes.
+
+Parameterization (standard 3DGS training form):
+  - ``log_scales``    — scales = exp(log_scales) (positivity)
+  - ``logit_opacity`` — opacity = sigmoid(logit_opacity)
+  - ``quats``         — unnormalized; the renderer normalizes internally
+  - ``rgb``, ``sh``   — raw (rgb clipped in the loss image implicitly)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.types import Camera, RenderConfig, SplatData
+from .sharded import sharded_render_tiles
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SplatParams:
+    """Optimizable splat parameters (a JAX pytree)."""
+
+    means: jnp.ndarray          # [N, 3]
+    log_scales: jnp.ndarray     # [N, 3]
+    quats: jnp.ndarray          # [N, 4]
+    rgb: jnp.ndarray            # [N, 3]
+    logit_opacity: jnp.ndarray  # [N]
+    sh: jnp.ndarray             # [N, K, 3]
+
+    @staticmethod
+    def from_splats(splats: SplatData) -> "SplatParams":
+        op = jnp.clip(splats.colors[:, 3], 1e-4, 1.0 - 1e-4)
+        return SplatParams(
+            means=splats.means,
+            log_scales=jnp.log(jnp.maximum(splats.scales, 1e-12)),
+            quats=splats.quats,
+            rgb=splats.colors[:, :3],
+            logit_opacity=jnp.log(op / (1.0 - op)),
+            sh=splats.sh,
+        )
+
+    def to_splats(self) -> SplatData:
+        opacity = jax.nn.sigmoid(self.logit_opacity)
+        return SplatData(
+            means=self.means,
+            scales=jnp.exp(self.log_scales),
+            quats=self.quats,
+            colors=jnp.concatenate([self.rgb, opacity[:, None]], axis=-1),
+            sh=self.sh,
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    params: SplatParams
+    opt_state: Any
+    step: jnp.ndarray
+
+    @staticmethod
+    def create(splats: SplatData, optimizer) -> "TrainState":
+        params = SplatParams.from_splats(splats)
+        return TrainState(params=params,
+                          opt_state=optimizer.init(params),
+                          step=jnp.zeros((), jnp.int32))
+
+
+def image_to_tile_blocks(img: jnp.ndarray, cfg: RenderConfig):
+    """Raster image [H, W, C] -> GL-oriented tile blocks [T, P, C] + a
+    validity mask [T, P] that zeroes padded pixels beyond the viewport."""
+    ts = cfg.tile_size
+    h, w = img.shape[:2]
+    assert (h, w) == (cfg.height, cfg.width), (img.shape, cfg)
+    ph, pw = cfg.tiles_y * ts, cfg.tiles_x * ts
+    gl = img[::-1]                                   # row 0 at GL y=0
+    gl = jnp.pad(gl, ((0, ph - h), (0, pw - w), (0, 0)))
+    c = img.shape[2]
+    tiles = gl.reshape(cfg.tiles_y, ts, cfg.tiles_x, ts, c)
+    tiles = tiles.transpose(0, 2, 1, 3, 4).reshape(-1, ts * ts, c)
+
+    ys = jnp.arange(ph) < h
+    xs = jnp.arange(pw) < w
+    m = (ys[:, None] & xs[None, :]).astype(jnp.float32)
+    m = m.reshape(cfg.tiles_y, ts, cfg.tiles_x, ts)
+    mask = m.transpose(0, 2, 1, 3).reshape(-1, ts * ts)
+    return tiles, mask
+
+
+def make_train_step(cfg: RenderConfig, mesh, optimizer,
+                    capacity: Optional[int] = None):
+    """Build a jitted sharded train step.
+
+    Returns ``step(state, camera, target_tiles, tile_mask) ->
+    (new_state, metrics)`` where target_tiles/tile_mask come from
+    :func:`image_to_tile_blocks`.
+    """
+    from .mesh import TILE_AXIS
+
+    if capacity is None:
+        capacity = cfg.pair_capacity(1) * 0 + 0  # resolved per-call below
+
+    def loss_fn(params: SplatParams, camera: Camera, target_tiles, tile_mask,
+                cap: int):
+        splats = params.to_splats()
+        tile_colors, tile_logtrans = sharded_render_tiles(
+            mesh, splats, camera, cfg, cap)
+        bg = jnp.asarray(cfg.background, jnp.float32)
+        trans = jnp.exp(tile_logtrans)
+        rendered = tile_colors + trans[..., None] * bg[None, None, :]
+        err = (rendered - target_tiles) ** 2 * tile_mask[..., None]
+        loss = jnp.sum(err) / (jnp.sum(tile_mask) * 3.0)
+        return loss
+
+    def step(state: TrainState, camera: Camera, target_tiles, tile_mask):
+        n = state.params.means.shape[0]
+        tile_shards = mesh.shape[TILE_AXIS]
+        cap = capacity
+        if not cap:
+            cap = -(-cfg.pair_capacity(n) // tile_shards)
+            cap = -(-cap // cfg.chunk_size) * cfg.chunk_size
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, camera, target_tiles, tile_mask, cap)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        metrics = {"loss": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    return step

@@ -46,12 +46,16 @@ class BinnedPairs:
     overflow: jnp.ndarray           # [] int32 pairs dropped due to capacity
 
 
-def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig):
+def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig,
+                ty_lo: int = 0, ty_hi: int | None = None):
     """Inclusive tile-coordinate bounds [tx0, tx1] x [ty0, ty1] per splat.
 
     Returns (tx0, tx1, ty0, ty1, counts) where counts is 0 for culled splats
-    or splats whose AABB misses the viewport.
+    or splats whose AABB misses the viewport (or the [ty_lo, ty_hi) tile-row
+    window when given — the tile-sharded path's per-device slab).
     """
+    if ty_hi is None:
+        ty_hi = cfg.tiles_y
     ts = float(cfg.tile_size)
     x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
     rx, ry = proj.radius[:, 0], proj.radius[:, 1]
@@ -59,27 +63,55 @@ def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig):
     tx1 = jnp.floor((x + rx) / ts).astype(jnp.int32)
     ty0 = jnp.floor((y - ry) / ts).astype(jnp.int32)
     ty1 = jnp.floor((y + ry) / ts).astype(jnp.int32)
-    inside = (proj.mask & (tx1 >= 0) & (ty1 >= 0)
-              & (tx0 < cfg.tiles_x) & (ty0 < cfg.tiles_y))
+    inside = (proj.mask & (tx1 >= 0) & (ty1 >= ty_lo)
+              & (tx0 < cfg.tiles_x) & (ty0 < ty_hi))
     tx0 = jnp.clip(tx0, 0, cfg.tiles_x - 1)
     tx1 = jnp.clip(tx1, 0, cfg.tiles_x - 1)
-    ty0 = jnp.clip(ty0, 0, cfg.tiles_y - 1)
-    ty1 = jnp.clip(ty1, 0, cfg.tiles_y - 1)
+    ty0 = jnp.clip(ty0, ty_lo, ty_hi - 1)
+    ty1 = jnp.clip(ty1, ty_lo, ty_hi - 1)
     counts = jnp.where(inside, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
     return tx0, tx1, ty0, ty1, counts.astype(jnp.int32)
 
 
 def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
-                 capacity: int) -> BinnedPairs:
-    """Expand splats into depth-sorted per-tile pair lists (static shapes)."""
-    num_tiles = cfg.num_tiles
+                 capacity: int,
+                 tile_range: tuple | None = None,
+                 depth_bounds: tuple | None = None) -> BinnedPairs:
+    """Expand splats into depth-sorted per-tile pair lists (static shapes).
+
+    Args:
+      tile_range: optional (tile_lo, num_local_tiles) restricting binning to a
+        contiguous range of global tile ids — the tile-sharded multi-chip path
+        gives each device its own range.  Output tile ids are range-relative.
+      depth_bounds: optional (dmin, dmax) scalars for the depth quantization
+        range; multi-chip callers pass globally-reduced bounds so every shard
+        quantizes identically.
+    """
+    if tile_range is None:
+        tile_lo, num_tiles = 0, cfg.num_tiles
+    else:
+        tile_lo, num_tiles = tile_range
     tile_bits = max(1, (num_tiles - 1).bit_length())
     assert tile_bits + cfg.sort_bits <= 31, (
         f"tile bits ({tile_bits}) + sort bits ({cfg.sort_bits}) must fit an "
         f"int32 key; lower sort_bits or use larger tiles")
 
-    tx0, tx1, ty0, ty1, counts = tile_bounds(proj, cfg)
-    depth_q = quantize_depth(proj.depth, proj.mask, cfg.sort_bits)
+    if tile_range is not None:
+        # tile_lo may be a traced per-device value (axis_index * local_tiles);
+        # alignment to whole tile rows is the caller's contract.
+        assert num_tiles % cfg.tiles_x == 0, (
+            "tile_range must cover whole tile rows")
+        if isinstance(tile_lo, int):
+            assert tile_lo % cfg.tiles_x == 0, (
+                "tile_range must start on a tile-row boundary")
+        ty_lo = tile_lo // cfg.tiles_x
+        ty_hi = ty_lo + num_tiles // cfg.tiles_x
+    else:
+        ty_lo, ty_hi = 0, cfg.tiles_y
+
+    tx0, tx1, ty0, ty1, counts = tile_bounds(proj, cfg, ty_lo, ty_hi)
+    depth_q = quantize_depth(proj.depth, proj.mask, cfg.sort_bits,
+                             depth_bounds)
 
     offsets = jnp.cumsum(counts) - counts          # exclusive prefix sum
     total = offsets[-1] + counts[-1]
@@ -95,7 +127,8 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
     rank = slots - offsets[splat_of]
     width = (tx1 - tx0 + 1)[splat_of]
     dy, dx = rank // width, rank % width
-    tile = ((ty0[splat_of] + dy) * cfg.tiles_x + (tx0[splat_of] + dx))
+    tile = ((ty0[splat_of] + dy) * cfg.tiles_x + (tx0[splat_of] + dx)
+            - tile_lo)
 
     key = (tile << cfg.sort_bits) | depth_q[splat_of]
     key = jnp.where(valid, key, jnp.int32(2147483647))

@@ -246,15 +246,20 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
 
 
 def quantize_depth(depth: jnp.ndarray, mask: jnp.ndarray,
-                   bits: int) -> jnp.ndarray:
+                   bits: int, bounds: tuple | None = None) -> jnp.ndarray:
     """Map depths to integer buckets exactly like the WASM sorter's range map
     (sorter.cpp:142-149): bucket = (d - min) * (2^bits - 1) / (max - min).
 
     Invisible splats get the maximum bucket so they sort last.
+    ``bounds`` overrides the (min, max) range — sharded callers pass
+    globally-reduced bounds so every shard buckets identically.
     """
-    big = jnp.float32(3.0e38)
-    dmin = jnp.min(jnp.where(mask, depth, big))
-    dmax = jnp.max(jnp.where(mask, depth, -big))
+    if bounds is not None:
+        dmin, dmax = bounds
+    else:
+        big = jnp.float32(3.0e38)
+        dmin = jnp.min(jnp.where(mask, depth, big))
+        dmax = jnp.max(jnp.where(mask, depth, -big))
     span = jnp.maximum(dmax - dmin, 1e-20)
     nbuckets = (1 << bits) - 1
     q = jnp.floor((depth - dmin) * (nbuckets / span)).astype(jnp.int32)

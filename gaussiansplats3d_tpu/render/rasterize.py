@@ -86,7 +86,7 @@ def _chunk_alpha(m2, con, opa, rad, px, py, min_alpha):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def rasterize_pairs(cfg: RenderConfig, capacity: int,
                     mean2d_s, conic_s, color_s, opacity_s, radius_s,
-                    tile_starts, tile_counts
+                    tile_starts, tile_counts, tile_base=0
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite sorted pair records into tile blocks.
 
@@ -96,11 +96,14 @@ def rasterize_pairs(cfg: RenderConfig, capacity: int,
         pair records in sorted order (invalid pairs must have opacity 0).
         radius_s is the hard support-box cutoff (no gradient flows through it).
       tile_starts / tile_counts: [num_tiles] ranges into the pair list.
+      tile_base: global tile id of local tile 0 (the tile-sharded path passes
+        its slab offset so pixel coordinates are screen-global).
 
     Returns (tile_colors [T, P, 3], tile_logtrans [T, P]) with P = tile_size^2.
     """
     out, _ = _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s,
-                                 opacity_s, radius_s, tile_starts, tile_counts)
+                                 opacity_s, radius_s, tile_starts, tile_counts,
+                                 tile_base)
     return out
 
 
@@ -108,21 +111,22 @@ def rasterize_pairs(cfg: RenderConfig, capacity: int,
 _GROUP_SIZE = 64
 
 
-def _pad_tiles(cfg, tile_starts, tile_counts):
+def _pad_tiles(cfg, tile_starts, tile_counts, tile_base):
     t = tile_starts.shape[0]
     g = _GROUP_SIZE
     pad = (-t) % g
     if pad:
         tile_starts = jnp.pad(tile_starts, (0, pad))
         tile_counts = jnp.pad(tile_counts, (0, pad))
-    tile_ids = jnp.arange(t + pad, dtype=jnp.int32)
+    tile_ids = jnp.arange(t + pad, dtype=jnp.int32) + tile_base
     return tile_starts, tile_counts, tile_ids, t
 
 
 def _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s, opacity_s,
-                        radius_s, tile_starts, tile_counts):
+                        radius_s, tile_starts, tile_counts, tile_base):
     records = (mean2d_s, conic_s, color_s, opacity_s, radius_s)
-    starts_p, counts_p, tile_ids, t = _pad_tiles(cfg, tile_starts, tile_counts)
+    starts_p, counts_p, tile_ids, t = _pad_tiles(cfg, tile_starts, tile_counts,
+                                                 tile_base)
     c = cfg.chunk_size
     p = cfg.tile_size * cfg.tile_size
     g = _GROUP_SIZE
@@ -161,22 +165,24 @@ def _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s, opacity_s,
     tile_colors = cols.reshape(-1, p, 3)[:t]
     tile_logtrans = logts.reshape(-1, p)[:t]
     residuals = (mean2d_s, conic_s, color_s, opacity_s, radius_s,
-                 tile_starts, tile_counts, tile_logtrans)
+                 tile_starts, tile_counts, tile_base, tile_logtrans)
     return (tile_colors, tile_logtrans), residuals
 
 
 def _rasterize_fwd(cfg, capacity, mean2d_s, conic_s, color_s, opacity_s,
-                   radius_s, tile_starts, tile_counts):
+                   radius_s, tile_starts, tile_counts, tile_base):
     return _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s,
-                               opacity_s, radius_s, tile_starts, tile_counts)
+                               opacity_s, radius_s, tile_starts, tile_counts,
+                               tile_base)
 
 
 def _rasterize_bwd(cfg, capacity, residuals, cotangents):
     (mean2d_s, conic_s, color_s, opacity_s, radius_s, tile_starts,
-     tile_counts, tile_logtrans) = residuals
+     tile_counts, tile_base, tile_logtrans) = residuals
     g_col, g_logt = cotangents
     records = (mean2d_s, conic_s, color_s, opacity_s, radius_s)
-    starts_p, counts_p, tile_ids, t = _pad_tiles(cfg, tile_starts, tile_counts)
+    starts_p, counts_p, tile_ids, t = _pad_tiles(cfg, tile_starts, tile_counts,
+                                                 tile_base)
     c = cfg.chunk_size
     p = cfg.tile_size * cfg.tile_size
     g = _GROUP_SIZE
@@ -283,7 +289,7 @@ def _rasterize_bwd(cfg, capacity, residuals, cotangents):
     (gm, gc, gcl, gop), _ = jax.lax.scan(
         bwd_group, (grad_mean2d, grad_conic, grad_color, grad_opacity),
         groups)
-    return gm, gc, gcl, gop, jnp.zeros_like(radius_s), None, None
+    return (gm, gc, gcl, gop, jnp.zeros_like(radius_s), None, None, None)
 
 
 rasterize_pairs.defvjp(_rasterize_fwd, _rasterize_bwd)
