@@ -166,6 +166,10 @@ class RenderConfig:
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
 
     # --- TPU pipeline knobs ---
+    # Compositor backend: 'pallas' (on-chip kernels), 'jax' (pure-JAX scan,
+    # the CPU/interpret fallback and the readable reference), or 'auto'
+    # (pallas on TPU backends, jax elsewhere).
+    backend: str = "auto"
     tile_size: int = DEFAULT_TILE_SIZE
     # Total capacity of the (tile, splat) pair list as a multiple of N.
     pair_multiplier: float = 4.0
@@ -180,6 +184,8 @@ class RenderConfig:
                 f"sort_bits must be in [{MIN_SORT_BITS}, {MAX_SORT_BITS}]")
         if self.sh_degree not in (0, 1, 2, 3):
             raise ValueError("sh_degree must be 0..3")
+        if self.backend not in ("auto", "pallas", "jax"):
+            raise ValueError("backend must be 'auto', 'pallas' or 'jax'")
 
     @property
     def tiles_x(self) -> int:

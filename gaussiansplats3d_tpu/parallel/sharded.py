@@ -31,9 +31,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.types import Camera, RenderConfig, SplatData
 from ..render.binning import bin_and_sort
-from ..render.pipeline import assemble_image, gather_pair_records
+from ..render.pipeline import (
+    assemble_image, composite_pairs, gather_pair_records)
 from ..render.projection import project_splats
-from ..render.rasterize import rasterize_pairs
 from .mesh import SPLAT_AXIS, TILE_AXIS
 
 try:  # jax >= 0.4.35 exposes shard_map at top level
@@ -85,13 +85,20 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
 
         t_idx = jax.lax.axis_index(TILE_AXIS)
         tile_lo = t_idx * local_tiles
+        from ..render.pipeline import resolve_backend
+        align = None
+        if resolve_backend(cfg) == "pallas":
+            from ..render.pallas_rasterize import CHUNK
+            align = CHUNK
         pairs = bin_and_sort(proj_all, cfg, capacity,
                              tile_range=(tile_lo, local_tiles),
-                             depth_bounds=(dmin, dmax))
+                             depth_bounds=(dmin, dmax),
+                             align_chunks=align)
+        eff_capacity = pairs.sorted_splat_idx.shape[0]
         m2, con, col, opa, rad = gather_pair_records(proj_all, pairs)
-        tile_colors, tile_logtrans = rasterize_pairs(
-            cfg, capacity, m2, con, col, opa, rad,
-            pairs.tile_starts, pairs.tile_counts, tile_lo)
+        tile_colors, tile_logtrans = composite_pairs(
+            cfg, eff_capacity, m2, con, col, opa, rad,
+            pairs.tile_starts, pairs.tile_counts, tile_lo, local_tiles)
         return tile_colors, tile_logtrans
 
     splat_spec = jax.tree.map(lambda _: P(SPLAT_AXIS), splats)

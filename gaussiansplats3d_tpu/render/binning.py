@@ -76,7 +76,8 @@ def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig,
 def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
                  capacity: int,
                  tile_range: tuple | None = None,
-                 depth_bounds: tuple | None = None) -> BinnedPairs:
+                 depth_bounds: tuple | None = None,
+                 align_chunks: int | None = None) -> BinnedPairs:
     """Expand splats into depth-sorted per-tile pair lists (static shapes).
 
     Args:
@@ -86,6 +87,11 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
       depth_bounds: optional (dmin, dmax) scalars for the depth quantization
         range; multi-chip callers pass globally-reduced bounds so every shard
         quantizes identically.
+      align_chunks: when set, re-lay the sorted pair list out so every tile's
+        range STARTS on a multiple of `align_chunks` (padded CSR, gaps marked
+        invalid).  The Pallas compositor requires this so each chunk is one
+        aligned [chunk, 16] DMA; output arrays grow to
+        ``capacity + num_local_tiles * align_chunks``.
     """
     if tile_range is None:
         tile_lo, num_tiles = 0, cfg.num_tiles
@@ -140,12 +146,38 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    counts_t = ends - starts
+
+    if align_chunks is None:
+        return BinnedPairs(
+            sorted_splat_idx=sorted_idx,
+            pair_valid=jnp.arange(capacity) < jnp.minimum(total, capacity),
+            tile_starts=starts,
+            tile_counts=counts_t,
+            total_pairs=total,
+            overflow=overflow,
+        )
+
+    # Padded-CSR re-layout: tile t occupies [padded_starts[t],
+    # padded_starts[t] + ceil(counts[t]/c)*c), gap slots invalid.
+    c = align_chunks
+    padded_counts = -(-counts_t // c) * c
+    padded_starts = (jnp.cumsum(padded_counts) - padded_counts
+                     ).astype(jnp.int32)
+    padded_cap = capacity + num_tiles * c            # static worst case
+    pslots = jnp.arange(padded_cap, dtype=jnp.int32)
+    tile_of_p = jnp.searchsorted(padded_starts, pslots,
+                                 side="right").astype(jnp.int32) - 1
+    tile_of_p = jnp.clip(tile_of_p, 0, num_tiles - 1)
+    rank = pslots - padded_starts[tile_of_p]
+    src = jnp.clip(starts[tile_of_p] + rank, 0, capacity - 1)
+    valid_p = rank < counts_t[tile_of_p]
 
     return BinnedPairs(
-        sorted_splat_idx=sorted_idx,
-        pair_valid=jnp.arange(capacity) < jnp.minimum(total, capacity),
-        tile_starts=starts,
-        tile_counts=ends - starts,
+        sorted_splat_idx=sorted_idx[src],
+        pair_valid=valid_p,
+        tile_starts=padded_starts,
+        tile_counts=counts_t,
         total_pairs=total,
         overflow=overflow,
     )

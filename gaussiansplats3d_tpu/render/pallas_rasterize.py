@@ -1,0 +1,438 @@
+"""On-chip Pallas compositor: the hot kernel of the framework.
+
+Replaces the pure-JAX `rasterize.rasterize_pairs` scan on TPU.  One grid
+step = one image tile; the kernel walks the tile's depth-sorted pair list in
+chunks of C=128 splats, DMA-ing packed records from HBM into VMEM and
+compositing front-to-back entirely on-chip.
+
+Everything is laid out **pixels-on-sublanes x splats-on-lanes** ([P, C]
+blocks, P = tile_size^2, C = 128) so that no transposes or relayouts appear
+anywhere in the inner loop:
+
+    alpha [P, C] = opacity * exp(-0.5 G)             (VPU)
+    excl  [P, C] = log1p(-alpha) @ upper_tri         (MXU prefix-scan)
+    col   [P, 3] += (alpha * exp(excl + logT)) @ rgb (MXU)
+    logT  [P, 1] += sum_lanes log1p(-alpha)
+
+This is the TPU replacement for the reference's fragment pipeline
+(/root/reference/src/splatmesh/SplatMaterial3D.js:234-252: per-fragment
+falloff + NormalBlending over sorted quads) with per-fragment semantics kept
+identical to `compositing.splat_alphas`.  Unlike the reference (and the JAX
+fallback) the kernel early-exits a tile once every pixel's transmittance
+drops below ~1/512; the number of chunks composited is emitted so the
+backward kernel replays exactly the same prefix in reverse, reconstructing
+chunk-entry transmittance by subtracting log-space sums (exact — no
+divide-by-(1-alpha) drift), and emits per-pair gradients.
+
+Record packing — a [capacity // C, 16, C] f32 array (tile ranges are
+chunk-aligned by `binning(align_chunks=128)`), so each chunk is ONE
+contiguous, fully tile-aligned 8 KiB DMA indexed by leading chunk id.
+Row layout (within a chunk, each row is [1, C] across splats):
+
+    row  0-1   mean2d (x, y)
+    row  2-4   conic (a, b, c)
+    row  5-7   rgb
+    row  8     opacity
+    row  9-10  support-box radius (rx, ry)
+    row 11-15  padding (zeros)
+
+Gradients come back in the same layout (padding rows zero).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import ALPHA_CLAMP, GAUSSIAN_CUTOFF
+from ..core.types import RenderConfig
+
+RECORD_WIDTH = 16
+CHUNK = 128
+# Matches rasterize._LOG_T_FLOOR.
+_LOG_T_FLOOR = -80.0
+# Early-exit when max-pixel transmittance falls below exp(_LOG_EXIT) ~ 1/512.
+_LOG_EXIT = math.log(1.0 / 512.0)
+
+
+def pack_records(mean2d_s, conic_s, color_s, opacity_s, radius_s
+                 ) -> jnp.ndarray:
+    """Pack [cap]-long pair-record arrays into the [cap // C, 16, C] layout.
+
+    The capacity must be a CHUNK multiple (binning's align_chunks layout
+    guarantees it)."""
+    cap = mean2d_s.shape[0]
+    assert cap % CHUNK == 0, cap
+    rec = jnp.stack([
+        mean2d_s[:, 0], mean2d_s[:, 1],
+        conic_s[:, 0], conic_s[:, 1], conic_s[:, 2],
+        color_s[:, 0], color_s[:, 1], color_s[:, 2],
+        opacity_s,
+        radius_s[:, 0], radius_s[:, 1],
+    ], axis=0)                                       # [11, cap]
+    rec = jnp.concatenate(
+        [rec, jnp.zeros((RECORD_WIDTH - 11, cap), jnp.float32)], axis=0)
+    return rec.reshape(RECORD_WIDTH, cap // CHUNK, CHUNK).transpose(1, 0, 2)
+
+
+def _pixel_coords(tile_id, cfg: RenderConfig):
+    """GL pixel-center coords for one tile: ([P, 1], [P, 1])."""
+    ts = cfg.tile_size
+    p = ts * ts
+    tx = (tile_id % cfg.tiles_x).astype(jnp.float32)
+    ty = (tile_id // cfg.tiles_x).astype(jnp.float32)
+    pid = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    ix = jnp.mod(pid, ts).astype(jnp.float32)
+    iy = (pid // ts).astype(jnp.float32)
+    px = tx * float(ts) + ix + 0.5
+    py = ty * float(ts) + iy + 0.5
+    return px, py
+
+
+def _chunk_alpha_block(rec, px, py, count, k, min_alpha):
+    """Alpha for one chunk: rec [16, C] -> (alpha [P, C], dx, dy, g)."""
+    mx, my = rec[0:1, :], rec[1:2, :]                 # [1, C]
+    ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
+    opa = rec[8:9, :]
+    rx, ry = rec[9:10, :], rec[10:11, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    opa = jnp.where(k * CHUNK + lane < count, opa, 0.0)
+
+    dx = px - mx                                      # [P, C]
+    dy = py - my
+    g = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+    alpha = opa * jnp.exp(-0.5 * g)
+    outside = ((g > GAUSSIAN_CUTOFF) | (alpha < min_alpha)
+               | (jnp.abs(dx) > rx) | (jnp.abs(dy) > ry))
+    alpha = jnp.where(outside, 0.0, alpha)
+    alpha = jnp.minimum(alpha, ALPHA_CLAMP)
+    return alpha, dx, dy, g
+
+
+def _prefix_sum_lanes(x):
+    """INCLUSIVE prefix sum along lanes (axis 1) of a [P, C] block.
+
+    Log-step shift-add (exact f32, unlike an MXU triangular matmul whose
+    bf16-decomposed accumulation loses ~8 mantissa bits — visibly wrong
+    once amplified through exp()).
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    acc = x
+    shift = 1
+    while shift < CHUNK:
+        rolled = pltpu.roll(acc, shift, axis=1)
+        acc = acc + jnp.where(lane >= shift, rolled, 0.0)
+        shift *= 2
+    return acc
+
+
+def _suffix_sum_lanes(x):
+    """INCLUSIVE suffix sum along lanes (axis 1) of a [P, C] block."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    acc = x
+    shift = 1
+    while shift < CHUNK:
+        rolled = pltpu.roll(acc, CHUNK - shift, axis=1)  # circular -shift
+        acc = acc + jnp.where(lane < CHUNK - shift, rolled, 0.0)
+        shift *= 2
+    return acc
+
+
+def _tri(strict_upper: bool):
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return ((c > r) if strict_upper else (c < r)).astype(jnp.float32)
+
+
+def _mm(a, b):
+    """[M, K] @ [K, N] -> [M, N] on the MXU in f32."""
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mm_nt(a, b):
+    """[M, K] x [N, K] -> [M, N] (contract trailing dims; no relayout)."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _mm_tn(a, b):
+    """[K, M] x [K, N] -> [M, N] (contract leading dims; no relayout)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def composite_tiles(cfg: RenderConfig, capacity: int,
+                    records, tile_starts, tile_counts, tile_ids
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pallas tile compositor.
+
+    Args:
+      records: [capacity // C, 16, C] packed pair records (pack_records).
+      tile_starts / tile_counts: [T] pair-list ranges per tile; every start
+        must be CHUNK-aligned (binning's align_chunks=CHUNK layout).
+      tile_ids: [T] global tile ids (pixel-coordinate placement; the
+        tile-sharded path passes its slab's global ids).
+
+    Returns (tile_colors [T, P, 3], tile_logtrans [T, P]).
+    """
+    out, _ = _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
+                            tile_ids)
+    return out
+
+
+def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
+                   tile_ids):
+    t = tile_starts.shape[0]
+    p = cfg.tile_size * cfg.tile_size
+
+    def kernel(starts_ref, counts_ref, ids_ref, rec_hbm,
+               colors_out, logt_out, exit_k_out, chunk_vmem, sem):
+        i = pl.program_id(0)
+        start_chunk = starts_ref[i] // CHUNK
+        count = counts_ref[i]
+        px, py = _pixel_coords(ids_ref[i], cfg)
+        num_chunks = pl.cdiv(count, CHUNK)
+
+        def dma_for(k):
+            slot = jax.lax.rem(k, 2)
+            return pltpu.make_async_copy(
+                rec_hbm.at[start_chunk + k], chunk_vmem.at[slot],
+                sem.at[slot])
+
+        @pl.when(num_chunks > 0)
+        def _():
+            dma_for(jnp.int32(0)).start()
+
+        def body(state):
+            k, col, logt = state
+            # Prefetch next chunk into the other slot, then consume this one.
+            @pl.when(k + 1 < num_chunks)
+            def _():
+                dma_for(k + 1).start()
+            dma_for(k).wait()
+            rec = chunk_vmem[jax.lax.rem(k, 2)]
+            alpha, _, _, _ = _chunk_alpha_block(rec, px, py, count, k,
+                                                cfg.min_alpha)
+            logw = jnp.log1p(-alpha)                  # [P, C]
+            incl = _prefix_sum_lanes(logw)
+            excl = incl - logw                        # [P, C] excl. prefix
+            w = alpha * jnp.exp(excl + logt)          # [P, C]
+            col = col + _mm_nt(w, rec[5:8, :])        # [P, 3]
+            logt = jnp.maximum(
+                logt + incl[:, CHUNK - 1:CHUNK], _LOG_T_FLOOR)
+            return k + 1, col, logt
+
+        def cond(state):
+            k, _, logt = state
+            return (k < num_chunks) & (jnp.max(logt) > _LOG_EXIT)
+
+        k_end, col, logt = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), jnp.zeros((p, 3), jnp.float32),
+             jnp.zeros((p, 1), jnp.float32)))
+        # Drain the prefetch issued for the chunk after the exit point so
+        # the semaphore is clean for the next grid step.
+        @pl.when(k_end < num_chunks)
+        def _():
+            dma_for(k_end).wait()
+        colors_out[0] = col
+        logt_out[0] = logt
+        exit_k_out[i] = k_end
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    colors, logt3, exit_k = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((t, p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((t, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t,), jnp.int32),
+        ],
+    )(tile_starts, tile_counts, tile_ids, records)
+    logt = logt3[:, :, 0]
+    residuals = (records, tile_starts, tile_counts, tile_ids, logt, exit_k)
+    return (colors, logt), residuals
+
+
+def _composite_bwd(cfg, capacity, residuals, cotangents):
+    records, tile_starts, tile_counts, tile_ids, logt_fin, exit_k = residuals
+    gcol, glogt = cotangents
+    t = tile_starts.shape[0]
+    p = cfg.tile_size * cfg.tile_size
+
+    def kernel(starts_ref, counts_ref, ids_ref, exit_k_ref,
+               rec_hbm, logt_blk, gcol_blk, glogt_blk,
+               grad_hbm, chunk_vmem, grad_vmem, sem, wsem):
+        i = pl.program_id(0)
+        start_chunk = starts_ref[i] // CHUNK
+        count = counts_ref[i]
+        px, py = _pixel_coords(ids_ref[i], cfg)
+        num_chunks = pl.cdiv(count, CHUNK)
+        k_exit = exit_k_ref[i]
+
+        logt_fin_t = logt_blk[0]                      # [P, 1]
+        gcol_t = gcol_blk[0]                          # [P, 3]
+        glogt_t = glogt_blk[0]                        # [P, 1]
+
+        def dma_for(k):
+            slot = jax.lax.rem(k, 2)
+            return pltpu.make_async_copy(
+                rec_hbm.at[start_chunk + k], chunk_vmem.at[slot],
+                sem.at[slot])
+
+        @pl.when(num_chunks > 0)
+        def _():
+            dma_for(num_chunks - 1).start()
+
+        def body(state):
+            k, logt_after, sg = state
+            k = k - 1
+            # Chunks at k >= k_exit never ran forward: their grads are zero
+            # and they must not perturb the transmittance replay.
+            active = (k < k_exit).astype(jnp.float32)
+            @pl.when(k > 0)
+            def _():
+                dma_for(k - 1).start()
+            dma_for(k).wait()
+            rec = chunk_vmem[jax.lax.rem(k, 2)]
+            alpha, dx, dy, g = _chunk_alpha_block(rec, px, py, count, k,
+                                                  cfg.min_alpha)
+            logw = jnp.log1p(-alpha)                   # [P, C]
+            incl = _prefix_sum_lanes(logw)
+            chunk_sum = incl[:, CHUNK - 1:CHUNK]
+            logt_before = logt_after - active * chunk_sum
+            excl = incl - logw
+            t_i = jnp.exp(excl + logt_before)          # [P, C]
+            w = alpha * t_i
+
+            cg = _mm(gcol_t, rec[5:8, :])              # [P, C]
+            d_color3 = _mm_tn(gcol_t, w)               # [3, C]
+            u = w * cg
+            suffix = _suffix_sum_lanes(u) - u + sg     # [P, C]
+
+            one_minus = jnp.maximum(1.0 - alpha, 1e-6)
+            d_alpha = t_i * cg - suffix / one_minus - glogt_t / one_minus
+            gate = (alpha > 0.0) & (alpha < ALPHA_CLAMP)
+            d_alpha = jnp.where(gate, d_alpha, 0.0)
+
+            d_opa_frag = d_alpha * jnp.exp(-0.5 * g)
+            d_quad = d_alpha * (-0.5 * alpha)
+            ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+            maskc = ((k * CHUNK + lane < count).astype(jnp.float32)
+                     * active)                          # [1, C]
+
+            def rowsum(x):
+                return jnp.sum(x, axis=0, keepdims=True)   # [1, C]
+
+            gr = jnp.concatenate([
+                rowsum(d_quad * (-2.0) * (ca * dx + cb * dy)) * maskc,
+                rowsum(d_quad * (-2.0) * (cb * dx + cc * dy)) * maskc,
+                rowsum(d_quad * dx * dx) * maskc,
+                rowsum(d_quad * 2.0 * dx * dy) * maskc,
+                rowsum(d_quad * dy * dy) * maskc,
+                d_color3 * maskc,
+                rowsum(d_opa_frag) * maskc,
+                jnp.zeros((RECORD_WIDTH - 9, CHUNK), jnp.float32),
+            ], axis=0)                                      # [16, C]
+            # Alternate between two grad staging slots so the outbound DMA
+            # overlaps the next chunk's compute; wait on the slot we are
+            # about to reuse.
+            slot = jax.lax.rem(k, 2)
+            @pl.when(k + 2 < num_chunks)
+            def _():
+                pltpu.make_async_copy(
+                    grad_vmem.at[slot], grad_hbm.at[start_chunk + k + 2],
+                    wsem.at[slot]).wait()
+            grad_vmem[slot] = gr
+            pltpu.make_async_copy(
+                grad_vmem.at[slot], grad_hbm.at[start_chunk + k],
+                wsem.at[slot]).start()
+
+            sg = sg + active * jnp.sum(u, axis=1, keepdims=True)
+            return k, logt_before, sg
+
+        def cond(state):
+            return state[0] > 0
+
+        init = (num_chunks, logt_fin_t, jnp.zeros((p, 1), jnp.float32))
+        jax.lax.while_loop(cond, body, init)
+        # Drain the last (up to two) outbound grad writes so the staging
+        # slots and semaphores are clean for the next grid step.
+        @pl.when(num_chunks > 0)
+        def _():
+            pltpu.make_async_copy(
+                grad_vmem.at[0], grad_hbm.at[start_chunk], wsem.at[0]).wait()
+        @pl.when(num_chunks > 1)
+        def _():
+            pltpu.make_async_copy(
+                grad_vmem.at[1], grad_hbm.at[start_chunk + 1],
+                wsem.at[1]).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # records
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                # logt_fin
+            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                # gcol
+            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                # glogt
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
+            pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    grad_records = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(records.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(tile_starts, tile_counts, tile_ids, exit_k,
+      records, logt_fin[:, :, None], gcol, glogt[:, :, None])
+
+    # Chunks owned by no tile (capacity padding beyond the last tile's
+    # chunk-aligned end) are never written by the kernel — zero them before
+    # the pack transpose scatters them into splat gradients.  In-tile
+    # chunk-pad gaps ARE written (zeros, via the count mask).
+    nchunks = records.shape[0]
+    chunk_id = jnp.arange(nchunks, dtype=jnp.int32)
+    padded_end = tile_starts + (-(-tile_counts // CHUNK)) * CHUNK
+    end_chunk = jnp.max(padded_end) // CHUNK
+    grad_records = jnp.where(
+        (chunk_id < end_chunk)[:, None, None], grad_records, 0.0)
+    return grad_records, None, None, None
+
+
+composite_tiles.defvjp(_composite_fwd, _composite_bwd)

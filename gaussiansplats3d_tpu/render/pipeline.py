@@ -30,6 +30,33 @@ from .projection import ProjectedSplats, project_splats
 from .rasterize import rasterize_pairs
 
 
+def resolve_backend(cfg: RenderConfig) -> str:
+    """'pallas' or 'jax'.  'auto' picks pallas on TPU-family backends."""
+    if cfg.backend != "auto":
+        return cfg.backend
+    platform = jax.devices()[0].platform
+    return "pallas" if platform in ("tpu", "axon") else "jax"
+
+
+def composite_pairs(cfg: RenderConfig, capacity: int,
+                    mean2d_s, conic_s, color_s, opacity_s, radius_s,
+                    tile_starts, tile_counts, tile_base, num_tiles: int):
+    """Backend dispatch for the tile compositor.
+
+    Returns (tile_colors [T, P, 3], tile_logtrans [T, P]).
+    """
+    if resolve_backend(cfg) == "pallas":
+        from .pallas_rasterize import composite_tiles, pack_records
+        records = pack_records(mean2d_s, conic_s, color_s, opacity_s,
+                               radius_s)
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32) + tile_base
+        return composite_tiles(cfg, capacity, records,
+                               tile_starts, tile_counts, tile_ids)
+    return rasterize_pairs(cfg, capacity, mean2d_s, conic_s, color_s,
+                           opacity_s, radius_s, tile_starts, tile_counts,
+                           tile_base)
+
+
 def gather_pair_records(proj: ProjectedSplats, pairs: BinnedPairs):
     """Build the sorted per-pair record arrays the compositor consumes.
 
@@ -86,12 +113,17 @@ def render(splats: SplatData, camera: Camera, cfg: RenderConfig,
     proj = project_splats(splats, camera, cfg, transforms, scene_indices,
                           scene_opacities, scene_visibility)
     capacity = cfg.pair_capacity(splats.num_splats)
-    pairs = bin_and_sort(proj, cfg, capacity)
+    align = None
+    if resolve_backend(cfg) == "pallas":
+        from .pallas_rasterize import CHUNK
+        align = CHUNK
+    pairs = bin_and_sort(proj, cfg, capacity, align_chunks=align)
+    eff_capacity = pairs.sorted_splat_idx.shape[0]
     mean2d_s, conic_s, color_s, opacity_s, radius_s = gather_pair_records(
         proj, pairs)
-    tile_colors, tile_logtrans = rasterize_pairs(
-        cfg, capacity, mean2d_s, conic_s, color_s, opacity_s, radius_s,
-        pairs.tile_starts, pairs.tile_counts)
+    tile_colors, tile_logtrans = composite_pairs(
+        cfg, eff_capacity, mean2d_s, conic_s, color_s, opacity_s, radius_s,
+        pairs.tile_starts, pairs.tile_counts, 0, cfg.num_tiles)
     out = assemble_image(tile_colors, tile_logtrans, cfg)
     if return_aux:
         out["num_pairs"] = pairs.total_pairs
