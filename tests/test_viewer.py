@@ -1,0 +1,166 @@
+"""Viewer API: scene lifecycle, dynamic transforms, picking, render gating."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gaussiansplats3d_tpu as gs
+from gaussiansplats3d_tpu.viewer import (
+    OrbitCamera,
+    RenderMode,
+    SplatRenderMode,
+    Viewer,
+)
+
+
+def small_scene(n=120, seed=0, sh_degree=0):
+    return gs.random_splats(jax.random.PRNGKey(seed), n, sh_degree=sh_degree)
+
+
+def make_viewer(**kw):
+    kw.setdefault("width", 64)
+    kw.setdefault("height", 64)
+    kw.setdefault("initial_camera_position", (2.2, 1.4, 2.4))
+    return Viewer(**kw)
+
+
+def test_single_scene_matches_direct_render():
+    v = make_viewer()
+    splats = small_scene()
+    v.add_splat_scene(splats)
+    out = v.render()
+    cam = v.camera.camera()
+    direct = gs.render(splats, cam, v.config)
+    # identity transform path must agree with the plain pipeline
+    assert jnp.max(jnp.abs(out["color"] - direct["color"])) < 2e-3
+
+
+def test_multi_scene_transforms_compose():
+    v = make_viewer()
+    a = small_scene(seed=1)
+    v.add_splat_scene(a, position=(0.6, 0.0, 0.0))
+    base = np.asarray(v.render()["color"])
+
+    s2 = v.add_splat_scene(small_scene(seed=2), position=(-0.6, 0.0, 0.0))
+    both = np.asarray(v.render()["color"])
+    assert np.abs(both - base).max() > 1e-3      # second scene visible
+
+    s2.visible = False
+    hidden = np.asarray(v.render()["color"])
+    assert np.allclose(hidden, base, atol=2e-3)  # matches single scene
+
+    s2.visible = True
+    s2.opacity = 0.2
+    faded = np.asarray(v.render()["color"])
+    assert np.abs(faded - both).max() > 1e-3
+
+
+def test_dynamic_transform_updates():
+    v = make_viewer()
+    scene = v.add_splat_scene(small_scene(), position=(0, 0, 0))
+    f0 = np.asarray(v.render()["color"])
+    scene.position = (0.5, 0.0, 0.0)
+    f1 = np.asarray(v.render()["color"])
+    assert np.abs(f1 - f0).max() > 1e-2
+
+
+def test_scene_removal_and_dispose():
+    v = make_viewer()
+    v.add_splat_scene(small_scene(seed=1))
+    v.add_splat_scene(small_scene(seed=2))
+    assert v.scene_count == 2
+    v.remove_splat_scene(0)
+    assert v.scene_count == 1
+    v.dispose()
+    with pytest.raises(RuntimeError):
+        v.render()
+
+
+def test_max_scenes_enforced():
+    v = make_viewer()
+    tiny = small_scene(8)
+    for _ in range(gs.MAX_SCENES):
+        v.add_splat_scene(tiny)
+    with pytest.raises(ValueError):
+        v.add_splat_scene(tiny)
+
+
+def test_alpha_removal_threshold():
+    splats = small_scene(100)
+    colors = np.array(splats.colors)
+    import dataclasses
+    colors[:50, 3] = 0.05
+    colors[50:, 3] = 1.0
+    splats = dataclasses.replace(splats, colors=jnp.asarray(colors))
+    v = make_viewer()
+    scene = v.add_splat_scene(splats, splat_alpha_removal_threshold=100)
+    assert scene.num_splats == 50
+
+
+def test_render_mode_on_change_caching():
+    v = make_viewer(render_mode=RenderMode.OnChange)
+    v.add_splat_scene(small_scene())
+    out1 = v.render()
+    out2 = v.render()
+    assert out2 is out1                    # cached
+    v.camera.rotate(0.3, 0.0)
+    out3 = v.render()
+    assert out3 is not out1
+
+
+def test_file_scene_load(tmp_path):
+    splats = small_scene(60)
+    path = str(tmp_path / "scene.ksplat")
+    gs.save(splats, path)
+    v = make_viewer()
+    scene = v.add_splat_scene(path)
+    assert scene.num_splats == 60
+    assert np.isfinite(np.asarray(v.render()["color"])).all()
+
+
+def test_raycast_hits_center_blob():
+    # one big splat at the origin; ray through image center must hit it
+    import dataclasses
+    splats = gs.SplatData.zeros(1)
+    splats = dataclasses.replace(
+        splats,
+        scales=jnp.full((1, 3), 0.3),
+        colors=jnp.asarray([[1.0, 0.0, 0.0, 1.0]]))
+    v = make_viewer()
+    v.add_splat_scene(splats)
+    hit = v.raycast(32, 32)
+    assert hit is not None
+    assert hit.splat_index == 0
+    assert np.linalg.norm(hit.point) < 0.4
+    # ray towards empty corner misses
+    assert v.raycast(1, 1) is None
+
+
+def test_orbit_camera_math():
+    oc = OrbitCamera(position=(0, 0, 5), target=(0, 0, 0))
+    assert np.allclose(oc.position, [0, 0, 5], atol=1e-6)
+    oc.rotate(np.pi / 2, 0)
+    assert np.allclose(oc.position, [5, 0, 0], atol=1e-6)
+    oc.zoom(2.0)
+    assert np.isclose(np.linalg.norm(oc.position - oc.target), 2.5)
+    oc.pan(1.0, 0.0)
+    assert np.isclose(np.linalg.norm(oc.position - oc.target), 2.5)
+
+
+def test_orthographic_viewer():
+    v = make_viewer(use_orthographic_camera=True)
+    v.add_splat_scene(small_scene())
+    img = np.asarray(v.render()["color"])
+    assert np.isfinite(img).all()
+    assert img.max() > 0
+
+
+def test_stereo_render():
+    v = make_viewer()
+    v.add_splat_scene(small_scene())
+    pair = v.render_stereo(eye_separation=0.3)
+    left = np.asarray(pair["left"]["color"])
+    right = np.asarray(pair["right"]["color"])
+    assert left.shape == right.shape
+    assert np.abs(left - right).max() > 1e-3
