@@ -123,20 +123,26 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
     total = offsets[-1] + counts[-1]
     overflow = jnp.maximum(total - capacity, 0)
 
-    # Pair slot i -> owning splat via binary search over the offset intervals.
+    # Pair slot i -> owning splat.  A searchsorted would cost ~20 random
+    # gather passes on TPU; instead scatter a 1 at each splat's first slot
+    # and prefix-sum (splat_of = #offsets <= slot - 1), then fetch all the
+    # per-splat fields a pair needs with ONE packed row gather.
     slots = jnp.arange(capacity, dtype=jnp.int32)
-    splat_of = jnp.searchsorted(offsets, slots,
-                                side="right").astype(jnp.int32) - 1
+    marks = jnp.zeros((capacity,), jnp.int32).at[offsets].add(
+        1, mode="drop")
+    splat_of = jnp.cumsum(marks).astype(jnp.int32) - 1
     splat_of = jnp.clip(splat_of, 0, counts.shape[0] - 1)
     valid = slots < total
 
-    rank = slots - offsets[splat_of]
-    width = (tx1 - tx0 + 1)[splat_of]
+    packed = jnp.stack(
+        [offsets, tx1 - tx0 + 1, tx0, ty0, depth_q], axis=1)  # [N, 5] i32
+    prow = packed[splat_of]                                   # one gather
+    rank = slots - prow[:, 0]
+    width = prow[:, 1]
     dy, dx = rank // width, rank % width
-    tile = ((ty0[splat_of] + dy) * cfg.tiles_x + (tx0[splat_of] + dx)
-            - tile_lo)
+    tile = (prow[:, 3] + dy) * cfg.tiles_x + (prow[:, 2] + dx) - tile_lo
 
-    key = (tile << cfg.sort_bits) | depth_q[splat_of]
+    key = (tile << cfg.sort_bits) | prow[:, 4]
     key = jnp.where(valid, key, jnp.int32(2147483647))
 
     sorted_key, sorted_idx = jax.lax.sort(
@@ -166,12 +172,18 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
                      ).astype(jnp.int32)
     padded_cap = capacity + num_tiles * c            # static worst case
     pslots = jnp.arange(padded_cap, dtype=jnp.int32)
-    tile_of_p = jnp.searchsorted(padded_starts, pslots,
-                                 side="right").astype(jnp.int32) - 1
+    pmarks = jnp.zeros((padded_cap,), jnp.int32)
+    # all-empty leading tiles share padded_start 0; scatter-add keeps the
+    # cumsum pointing at the LAST tile with start <= slot, matching the
+    # searchsorted('right') - 1 semantics
+    pmarks = pmarks.at[padded_starts].add(1, mode="drop")
+    tile_of_p = jnp.cumsum(pmarks).astype(jnp.int32) - 1
     tile_of_p = jnp.clip(tile_of_p, 0, num_tiles - 1)
-    rank = pslots - padded_starts[tile_of_p]
-    src = jnp.clip(starts[tile_of_p] + rank, 0, capacity - 1)
-    valid_p = rank < counts_t[tile_of_p]
+    tpacked = jnp.stack([padded_starts, starts, counts_t], axis=1)
+    trow = tpacked[tile_of_p]
+    rank = pslots - trow[:, 0]
+    src = jnp.clip(trow[:, 1] + rank, 0, capacity - 1)
+    valid_p = rank < trow[:, 2]
 
     return BinnedPairs(
         sorted_splat_idx=sorted_idx[src],

@@ -110,6 +110,17 @@ def render(splats: SplatData, camera: Camera, cfg: RenderConfig,
     framework's equivalent of the reference info panel's splat counts,
     Viewer.js:1804-1822).
     """
+    if cfg.render_mode_2d:
+        # 2DGS surfel mode (SplatMaterial2D parity) uses its own
+        # homography-based path; see render/surfel.py.
+        from .surfel import render_2d
+        out = render_2d(splats, camera, cfg, transforms, scene_indices,
+                        scene_opacities, scene_visibility)
+        if return_aux:
+            out["num_pairs"] = jnp.int32(0)
+            out["overflow"] = jnp.int32(0)
+        return out
+
     proj = project_splats(splats, camera, cfg, transforms, scene_indices,
                           scene_opacities, scene_visibility)
     capacity = cfg.pair_capacity(splats.num_splats)
