@@ -15,6 +15,7 @@ roughly 10 Msplats/s forward-only on a desktop core (a ~100 ms sort of a
 fwd+bwd throughput against that 10 Msplats/s forward-only bound.
 """
 
+import dataclasses
 import json
 import sys
 import time
@@ -37,6 +38,9 @@ def main():
                           sort_bits=16, pair_multiplier=4.0)
     splats = gs.random_splats(jax.random.PRNGKey(0), N, sh_degree=SH_DEGREE,
                               extent=2.0)
+    # Realistic scan-like splat sizes (a few pixels on screen), so the
+    # pair/fragment workload matches real scenes rather than giant blobs.
+    splats = dataclasses.replace(splats, scales=splats.scales * 0.15)
     camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
                                fov_y_deg=60.0, aspect=WIDTH / HEIGHT)
 

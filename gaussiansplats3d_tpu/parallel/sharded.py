@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.types import Camera, RenderConfig, SplatData
 from ..render.binning import bin_and_sort
 from ..render.pipeline import (
-    assemble_image, composite_pairs, gather_pair_records)
+    assemble_image, composite_pairs, gather_records, pack_splat_table)
 from ..render.projection import project_splats
 from .mesh import SPLAT_AXIS, TILE_AXIS
 
@@ -95,9 +95,12 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                              depth_bounds=(dmin, dmax),
                              align_chunks=align)
         eff_capacity = pairs.sorted_splat_idx.shape[0]
-        m2, con, col, opa, rad = gather_pair_records(proj_all, pairs)
+        rec = gather_records(pack_splat_table(proj_all),
+                             pairs.sorted_splat_idx, pairs.pair_valid,
+                             pairs.presort_slot, pairs.splat_offsets,
+                             pairs.splat_counts)
         tile_colors, tile_logtrans = composite_pairs(
-            cfg, eff_capacity, m2, con, col, opa, rad,
+            cfg, eff_capacity, rec,
             pairs.tile_starts, pairs.tile_counts, tile_lo, local_tiles)
         return tile_colors, tile_logtrans
 

@@ -44,6 +44,12 @@ class BinnedPairs:
     tile_counts: jnp.ndarray        # [num_tiles] int32
     total_pairs: jnp.ndarray        # [] int32 (pre-overflow-clamp)
     overflow: jnp.ndarray           # [] int32 pairs dropped due to capacity
+    # Gradient-reduction plumbing (see pipeline.gather_records): the
+    # pre-sort slot each pair came from (pre-sort order is grouped by
+    # splat), and each splat's contiguous pre-sort segment.
+    presort_slot: jnp.ndarray       # [capacity] int32 (invalid -> capacity)
+    splat_offsets: jnp.ndarray      # [N] int32
+    splat_counts: jnp.ndarray       # [N] int32
 
 
 def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig,
@@ -145,8 +151,11 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
     key = (tile << cfg.sort_bits) | prow[:, 4]
     key = jnp.where(valid, key, jnp.int32(2147483647))
 
-    sorted_key, sorted_idx = jax.lax.sort(
-        (key, splat_of), dimension=0, num_keys=1, is_stable=True)
+    # Sort (key, presort-slot) only; splat ids are recovered with one
+    # gather through the ownership table (cheaper than a third operand).
+    sorted_key, sorted_slot = jax.lax.sort(
+        (key, slots), dimension=0, num_keys=1, is_stable=True)
+    sorted_idx = splat_of[jnp.clip(sorted_slot, 0, capacity - 1)]
     sorted_tile = sorted_key >> cfg.sort_bits
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -155,13 +164,17 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
     counts_t = ends - starts
 
     if align_chunks is None:
+        valid_s = jnp.arange(capacity) < jnp.minimum(total, capacity)
         return BinnedPairs(
             sorted_splat_idx=sorted_idx,
-            pair_valid=jnp.arange(capacity) < jnp.minimum(total, capacity),
+            pair_valid=valid_s,
             tile_starts=starts,
             tile_counts=counts_t,
             total_pairs=total,
             overflow=overflow,
+            presort_slot=jnp.where(valid_s, sorted_slot, capacity),
+            splat_offsets=offsets,
+            splat_counts=counts,
         )
 
     # Padded-CSR re-layout: tile t occupies [padded_starts[t],
@@ -185,11 +198,17 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
     src = jnp.clip(trow[:, 1] + rank, 0, capacity - 1)
     valid_p = rank < trow[:, 2]
 
+    spacked = jnp.stack([sorted_idx, sorted_slot], axis=1)
+    srow = spacked[src]                       # one fused [padded_cap, 2]
+
     return BinnedPairs(
-        sorted_splat_idx=sorted_idx[src],
+        sorted_splat_idx=srow[:, 0],
         pair_valid=valid_p,
         tile_starts=padded_starts,
         tile_counts=counts_t,
         total_pairs=total,
         overflow=overflow,
+        presort_slot=jnp.where(valid_p, srow[:, 1], capacity),
+        splat_offsets=offsets,
+        splat_counts=counts,
     )

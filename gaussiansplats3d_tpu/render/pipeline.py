@@ -38,23 +38,80 @@ def resolve_backend(cfg: RenderConfig) -> str:
     return "pallas" if platform in ("tpu", "axon") else "jax"
 
 
-def composite_pairs(cfg: RenderConfig, capacity: int,
-                    mean2d_s, conic_s, color_s, opacity_s, radius_s,
+def composite_pairs(cfg: RenderConfig, capacity: int, rec,
                     tile_starts, tile_counts, tile_base, num_tiles: int):
     """Backend dispatch for the tile compositor.
 
+    ``rec``: [capacity, 16] packed pair records (pack_splat_table layout).
     Returns (tile_colors [T, P, 3], tile_logtrans [T, P]).
     """
     if resolve_backend(cfg) == "pallas":
-        from .pallas_rasterize import composite_tiles, pack_records
-        records = pack_records(mean2d_s, conic_s, color_s, opacity_s,
-                               radius_s)
+        from .pallas_rasterize import CHUNK, composite_tiles
+        records3 = rec.reshape(-1, CHUNK, rec.shape[1]).transpose(0, 2, 1)
         tile_ids = jnp.arange(num_tiles, dtype=jnp.int32) + tile_base
-        return composite_tiles(cfg, capacity, records,
+        return composite_tiles(cfg, capacity, records3,
                                tile_starts, tile_counts, tile_ids)
-    return rasterize_pairs(cfg, capacity, mean2d_s, conic_s, color_s,
-                           opacity_s, radius_s, tile_starts, tile_counts,
-                           tile_base)
+    return rasterize_pairs(cfg, capacity, rec[:, 0:2], rec[:, 2:5],
+                           rec[:, 5:8], rec[:, 8], rec[:, 9:11],
+                           tile_starts, tile_counts, tile_base)
+
+
+RECORD_WIDTH = 16
+_OPACITY_COL = 8
+
+
+def pack_splat_table(proj: ProjectedSplats) -> jnp.ndarray:
+    """Per-splat [N, 16] record table (differentiable packing).
+
+    Columns 0-1 mean2d, 2-4 conic, 5-7 rgb, 8 opacity, 9-10 support radius
+    (stop-gradient: hard cutoff), 11-15 zero padding — the same layout the
+    Pallas compositor consumes (pallas_rasterize docstring).
+    """
+    n = proj.opacity.shape[0]
+    return jnp.concatenate([
+        proj.mean2d, proj.conic, proj.color, proj.opacity[:, None],
+        jax.lax.stop_gradient(proj.radius),
+        jnp.zeros((n, RECORD_WIDTH - 11), jnp.float32)], axis=1)
+
+
+@jax.custom_vjp
+def gather_records(table, idx, valid, presort_slot, offsets, counts):
+    """records[cap, 16] = table[idx] with invalid slots' opacity zeroed.
+
+    The custom VJP avoids XLA scatter-adds (hundreds of ms for multi-column
+    rows on TPU): pair-gradients are permuted back to PRE-SORT order — which
+    is grouped by splat — then reduced per splat with one cumulative-sum
+    segment difference.
+    """
+    rec = table[idx]
+    return rec.at[:, _OPACITY_COL].multiply(valid)
+
+
+def _gather_records_fwd(table, idx, valid, presort_slot, offsets, counts):
+    return (gather_records(table, idx, valid, presort_slot, offsets, counts),
+            (valid, presort_slot, offsets, counts, table.shape[0]))
+
+
+def _gather_records_bwd(res, g):
+    valid, presort_slot, offsets, counts, n = res
+    cap = presort_slot.shape[0]
+    g = g.at[:, _OPACITY_COL].multiply(valid)
+    # Inverse permutation via one sort: invalid slots carry the sentinel
+    # `cap` so they land (stably) at the tail and are never read back.
+    _, inv = jax.lax.sort((presort_slot,
+                           jnp.arange(cap, dtype=jnp.int32)),
+                          dimension=0, num_keys=1, is_stable=True)
+    g_presort = g[inv]
+    prefix = jnp.cumsum(g_presort, axis=0)
+    prefix = jnp.concatenate(
+        [jnp.zeros((1, g.shape[1]), g.dtype), prefix], axis=0)
+    ends = jnp.clip(offsets + counts, 0, cap)
+    starts = jnp.clip(offsets, 0, cap)
+    g_table = prefix[ends] - prefix[starts]
+    return g_table, None, None, None, None, None
+
+
+gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
 
 
 def gather_pair_records(proj: ProjectedSplats, pairs: BinnedPairs):
@@ -63,13 +120,12 @@ def gather_pair_records(proj: ProjectedSplats, pairs: BinnedPairs):
     Invalid (beyond-total) pair slots get opacity 0 so they contribute
     nothing regardless of which splat index they alias.
     """
-    idx = pairs.sorted_splat_idx
-    mean2d_s = proj.mean2d[idx]
-    conic_s = proj.conic[idx]
-    color_s = proj.color[idx]
-    opacity_s = jnp.where(pairs.pair_valid, proj.opacity[idx], 0.0)
-    radius_s = jax.lax.stop_gradient(proj.radius[idx])
-    return mean2d_s, conic_s, color_s, opacity_s, radius_s
+    table = pack_splat_table(proj)
+    rec = gather_records(table, pairs.sorted_splat_idx, pairs.pair_valid,
+                         pairs.presort_slot, pairs.splat_offsets,
+                         pairs.splat_counts)
+    return (rec[:, 0:2], rec[:, 2:5], rec[:, 5:8], rec[:, 8],
+            rec[:, 9:11])
 
 
 def assemble_image(tile_colors: jnp.ndarray, tile_logtrans: jnp.ndarray,
@@ -130,10 +186,11 @@ def render(splats: SplatData, camera: Camera, cfg: RenderConfig,
         align = CHUNK
     pairs = bin_and_sort(proj, cfg, capacity, align_chunks=align)
     eff_capacity = pairs.sorted_splat_idx.shape[0]
-    mean2d_s, conic_s, color_s, opacity_s, radius_s = gather_pair_records(
-        proj, pairs)
+    rec = gather_records(pack_splat_table(proj), pairs.sorted_splat_idx,
+                         pairs.pair_valid, pairs.presort_slot,
+                         pairs.splat_offsets, pairs.splat_counts)
     tile_colors, tile_logtrans = composite_pairs(
-        cfg, eff_capacity, mean2d_s, conic_s, color_s, opacity_s, radius_s,
+        cfg, eff_capacity, rec,
         pairs.tile_starts, pairs.tile_counts, 0, cfg.num_tiles)
     out = assemble_image(tile_colors, tile_logtrans, cfg)
     if return_aux:
