@@ -127,6 +127,34 @@ def parse_ksplat(data: bytes) -> SplatData:
         if n > 0:
             rows = np.frombuffer(data, np.uint8, n * bps, data_base
                                  ).reshape(n, bps)
+            # fast path: multithreaded C++ decoder (native/ingest.cpp)
+            from .native import parse_ksplat_section_native
+            if level >= 1:
+                if partial_buckets:
+                    plens_n = np.frombuffer(data, "<u4", partial_buckets,
+                                            section_base)
+                else:
+                    plens_n = np.zeros((0,), np.uint32)
+                centers_n = np.frombuffer(
+                    data, "<f4", bucket_count * 3,
+                    section_base + meta_bytes).reshape(bucket_count, 3)
+                lens_n = np.concatenate([
+                    np.full(full_buckets, bucket_size, np.int64),
+                    plens_n.astype(np.int64)])
+                bucket_of_n = np.repeat(np.arange(len(lens_n)), lens_n)[:n]
+                sfac = (block_size / 2.0) / scale_range
+            else:
+                bucket_of_n = np.zeros((0,), np.int32)
+                centers_n = np.zeros((0, 3), np.float32)
+                sfac = 0.0
+            native = parse_ksplat_section_native(
+                rows.tobytes(), n, level, sh_degree, bucket_of_n, centers_n,
+                sfac, scale_range, header.min_sh, header.max_sh)
+            if native is not None:
+                parts.append(native)
+                storage = int(u32[7]) or (n * bps + buckets_bytes)
+                section_base += storage
+                continue
             if level == 0:
                 f = rows[:, :44].copy().view("<f4")
                 means = f[:, 0:3].copy()

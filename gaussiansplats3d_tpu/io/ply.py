@@ -124,11 +124,60 @@ def _sigmoid(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def _try_native_inria_v1(data: bytes, header: PlyHeader, sh_degree):
+    """Multithreaded C++ decode (native/ingest.cpp) for the common case:
+    binary little-endian, all-f32 vertex element first."""
+    if header.format != "binary_little_endian":
+        return None
+    if header.elements[0][0] != "vertex":
+        return None
+    count, props = header.vertex
+    offsets = {}
+    off = 0
+    for name, t in props:
+        if t not in ("float", "float32"):
+            return None
+        offsets[name] = off
+        off += 4
+    stride = off
+    base = ["x", "y", "z", "scale_0", "scale_1", "scale_2",
+            "rot_0", "rot_1", "rot_2", "rot_3",
+            "f_dc_0", "f_dc_1", "f_dc_2", "opacity"]
+    if not all(k in offsets for k in ("x", "y", "z")):
+        return None
+    field_offsets = [offsets.get(k, -1) for k in base]
+    n_rest = sum(1 for p in props if p[0].startswith("f_rest_"))
+    cpc = n_rest // 3
+    file_deg = 3 if cpc >= 15 else 2 if cpc >= 8 else 1 if cpc >= 3 else 0
+    out_deg = file_deg if sh_degree is None else min(sh_degree, file_deg)
+    k = {0: 0, 1: 3, 2: 8, 3: 15}[out_deg]
+    sh_offsets = []
+    if k:
+        for ch in range(3):
+            for i in range(cpc):
+                sh_offsets.append(offsets[f"f_rest_{ch * cpc + i}"])
+    from .native import parse_ply_inria_v1_native
+    out = parse_ply_inria_v1_native(
+        data[header.header_size:header.header_size + count * stride],
+        count, stride, field_offsets, sh_offsets, k, cpc if k else 1)
+    if out is None:
+        return None
+    import jax.numpy as jnp
+    means, scales, quats, colors, sh = out
+    return SplatData(
+        means=jnp.asarray(means), scales=jnp.asarray(scales),
+        quats=jnp.asarray(quats), colors=jnp.asarray(colors),
+        sh=jnp.asarray(sh))
+
+
 def parse_ply_inria_v1(data: bytes, sh_degree: int | None = None) -> SplatData:
     """Decode an INRIA V1 (or plain point-cloud) PLY buffer."""
     import jax.numpy as jnp
 
     header = parse_ply_header(data)
+    native = _try_native_inria_v1(data, header, sh_degree)
+    if native is not None:
+        return native
     count, props = header.vertex
     names = {p[0] for p in props}
     v = _vertex_recarray(data, header)

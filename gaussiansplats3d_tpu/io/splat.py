@@ -35,6 +35,10 @@ def parse_splat(data: bytes) -> SplatData:
         raise ValueError(f".splat byte length {len(data)} is not a multiple "
                          "of the 32-byte row size")
     n = len(data) // 32
+    from .native import parse_splat_native
+    native = parse_splat_native(data)
+    if native is not None:
+        return _to_splatdata(*native)
     rows = np.frombuffer(data, dtype=np.uint8).reshape(n, 32)
     f32 = rows[:, :24].copy().view("<f4")
     means = f32[:, 0:3]
