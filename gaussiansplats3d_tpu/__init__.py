@@ -8,6 +8,7 @@ and multi-chip sharding via jax.sharding meshes.
 """
 
 from . import io  # noqa: F401
+from . import utils  # noqa: F401
 from . import viewer  # noqa: F401
 from .constants import MAX_SCENES  # noqa: F401
 from .core.types import Camera, RenderConfig, SplatData, random_splats  # noqa: F401

@@ -11,6 +11,11 @@ over the splat axis (ICI), with gradient reduction handled by shard_map's
 collective transposes.
 """
 
+from .distributed import (  # noqa: F401
+    initialize_distributed,
+    load_checkpoint,
+    save_checkpoint,
+)
 from .mesh import make_mesh  # noqa: F401
 from .sharded import sharded_render, sharded_render_tiles  # noqa: F401
 from .train import TrainState, make_train_step  # noqa: F401
