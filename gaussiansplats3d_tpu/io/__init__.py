@@ -11,7 +11,13 @@ from .formats import (  # noqa: F401
     save,
     scene_format_from_path,
 )
-from .ksplat import load_ksplat, save_ksplat  # noqa: F401
+from .fetch import AbortedError, fetch_with_progress  # noqa: F401
+from .ksplat import (  # noqa: F401
+    load_ksplat,
+    save_ksplat,
+    serialize_ksplat_sections,
+)
+from .optimize import optimize_splat_data  # noqa: F401
 from .ply import load_ply, save_ply  # noqa: F401
 from .splat import load_splat, save_splat  # noqa: F401
 from .spz import load_spz, save_spz  # noqa: F401

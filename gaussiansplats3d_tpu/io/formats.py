@@ -28,13 +28,35 @@ def scene_format_from_path(path: str) -> SceneFormat:
                          f"(supported: ply, splat, ksplat, spz)") from None
 
 
-def load(path: str, sh_degree: int | None = None) -> SplatData:
-    """Load any supported scene file into SplatData.
+def load(path: str, sh_degree: int | None = None,
+         on_progress=None, abort_event=None) -> SplatData:
+    """Load any supported scene file or URL into SplatData.
 
     ``sh_degree`` optionally truncates higher-order SH at load time (the
-    reference's outSphericalHarmonicsDegree parameter).
+    reference's outSphericalHarmonicsDegree parameter).  ``on_progress`` /
+    ``abort_event`` stream download progress (io.fetch.fetch_with_progress,
+    the fetchWithProgress parity surface) — used for URLs and large files.
     """
-    fmt = scene_format_from_path(path)
+    base = path.split("?")[0] if "://" in path else path
+    fmt = scene_format_from_path(base)
+    if "://" in path or on_progress is not None or abort_event is not None:
+        from .fetch import fetch_with_progress
+        data_bytes = fetch_with_progress(path, on_progress, abort_event)
+        if fmt == SceneFormat.Ply:
+            from .ply import parse_ply
+            return parse_ply(data_bytes, sh_degree)
+        if fmt == SceneFormat.Splat:
+            from .splat import parse_splat
+            data = parse_splat(data_bytes)
+        elif fmt == SceneFormat.KSplat:
+            from .ksplat import parse_ksplat
+            data = parse_ksplat(data_bytes)
+        else:
+            from .spz import parse_spz
+            return parse_spz(data_bytes, sh_degree)
+        if sh_degree is not None and data.sh_degree > sh_degree:
+            data = data.with_sh_degree(sh_degree)
+        return data
     if fmt == SceneFormat.Ply:
         from .ply import load_ply
         return load_ply(path, sh_degree)

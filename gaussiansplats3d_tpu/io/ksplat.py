@@ -245,41 +245,26 @@ def _to_f16_bits(x: np.ndarray) -> np.ndarray:
     return x.astype(np.float16).view("<u2")
 
 
-def serialize_ksplat(splats: SplatData, compression_level: int = 0,
-                     block_size: float = DEFAULT_BLOCK_SIZE,
-                     bucket_size: int = DEFAULT_BUCKET_SIZE,
-                     minimum_alpha: float = 0.0) -> bytes:
-    """Encode SplatData as a single-section .ksplat buffer.
-
-    Mirrors generateFromUncompressedSplatArrays (SplatBuffer.js:1177-1326)
-    including the spatial bucketing scheme for levels >= 1.
-    """
-    if compression_level not in (0, 1, 2):
-        raise ValueError("compression_level must be 0, 1 or 2")
+def _prep_section(splats: SplatData, minimum_alpha: float, max_deg: int):
+    """Filter + convert one section's arrays to numpy (shared SH degree)."""
     means = np.asarray(splats.means, np.float32)
     scales = np.asarray(splats.scales, np.float32)
     quats = np.asarray(splats.quats, np.float32)
     colors = np.asarray(splats.colors, np.float32)
-    sh = np.asarray(splats.sh, np.float32)
-
+    sh = np.asarray(splats.with_sh_degree(max_deg).sh, np.float32)
     if minimum_alpha > 0:
         keep = colors[:, 3] * 255.0 >= minimum_alpha
         means, scales, quats, colors, sh = (
             means[keep], scales[keep], quats[keep], colors[keep], sh[keep])
+    return means, scales, quats, colors, sh
+
+
+def _encode_section(arrs, level, sh_degree, block_size, bucket_size,
+                    min_sh, max_sh):
+    """Encode one section -> (header_fields dict, section bytes)."""
+    means, scales, quats, colors, sh = arrs
     n = means.shape[0]
     k = sh.shape[1]
-    sh_degree = {0: 0, 3: 1, 8: 2, 15: 2}[k]
-    if k == 15:
-        sh = sh[:, :8]     # .ksplat stores at most degree 2
-        k = 8
-
-    if k:
-        min_sh = float(sh.min())
-        max_sh = float(sh.max())
-    else:
-        min_sh, max_sh = -_SH_HALF_RANGE, _SH_HALF_RANGE
-
-    # coefficient-major [N, K, 3] -> channel-major flat per band
     comp = SH_COMPONENTS[sh_degree]
     sh_flat = np.zeros((n, comp), np.float32)
     if k >= 3:
@@ -287,7 +272,6 @@ def serialize_ksplat(splats: SplatData, compression_level: int = 0,
     if k >= 8:
         sh_flat[:, 9:24] = sh[:, 3:8, :].transpose(0, 2, 1).reshape(n, 15)
 
-    level = compression_level
     bps = _bytes_per_splat(level, sh_degree)
     q_wxyz = quats[:, [3, 0, 1, 2]]
     qn = np.maximum(np.linalg.norm(q_wxyz, axis=1, keepdims=True), 1e-12)
@@ -295,7 +279,6 @@ def serialize_ksplat(splats: SplatData, compression_level: int = 0,
     colors_u8 = np.clip(np.rint(colors * 255.0), 0, 255).astype(np.uint8)
 
     if level == 0:
-        order = np.arange(n)
         bucket_centers = np.zeros((0, 3), np.float32)
         full_buckets = 0
         partial_lens = np.zeros((0,), np.uint32)
@@ -321,7 +304,6 @@ def serialize_ksplat(splats: SplatData, compression_level: int = 0,
             + blk[:, 2]
         order = np.argsort(cell, kind="stable")
         cell_sorted = cell[order]
-        # split each cell's splats into full buckets + one partial bucket
         _, cell_starts, cell_counts = np.unique(
             cell_sorted, return_index=True, return_counts=True)
         full_list = []
@@ -336,13 +318,10 @@ def serialize_ksplat(splats: SplatData, compression_level: int = 0,
         buckets = full_list + partial_list
         full_buckets = len(full_list)
         partial_lens = np.array([c for _, c in partial_list], np.uint32)
-        # re-order splats bucket by bucket
         bucket_order = np.concatenate(
-            [order[s:s + c] for s, c in buckets]) if buckets else order
+            [order[st:st + c] for st, c in buckets]) if buckets else order
         order = bucket_order
         centers_cell = mn + (blk[order] + 0.5) * block_size
-        # bucket center = center of the bucket's grid block (all of a
-        # bucket's splats share one block, so take the first's).
         starts = np.cumsum([0] + [c for _, c in buckets])[:-1]
         bucket_centers = centers_cell[starts].astype(np.float32) \
             if len(buckets) else np.zeros((0, 3), np.float32)
@@ -352,14 +331,11 @@ def serialize_ksplat(splats: SplatData, compression_level: int = 0,
         scale_range = 32767
         sf = scale_range / (block_size * 0.5)
         delta = means[order] - bucket_centers[bucket_of]
-        q = np.clip(np.rint(delta * sf) + scale_range, 0,
-                    2 * scale_range + 1).astype("<u2")
-
-        meta_bytes = len(partial_lens) * 4
-        buckets_bytes = BUCKET_STORAGE_BYTES * len(buckets) + meta_bytes
+        qpos = np.clip(np.rint(delta * sf) + scale_range, 0,
+                       2 * scale_range + 1).astype("<u2")
 
         rows = np.zeros((n, bps), np.uint8)
-        rows[:, 0:6] = q.view(np.uint8).reshape(n, 6)
+        rows[:, 0:6] = qpos.view(np.uint8).reshape(n, 6)
         rows[:, 6:12] = _to_f16_bits(scales[order]).view(np.uint8
                                                          ).reshape(n, 6)
         rows[:, 12:20] = np.ascontiguousarray(
@@ -376,47 +352,118 @@ def serialize_ksplat(splats: SplatData, compression_level: int = 0,
                               - min_sh) / rng * 255.0), 0, 255)
                 rows[:, 24:] = sh_u8.astype(np.uint8)
 
-    section_data_bytes = n * bps
-    storage = section_data_bytes + buckets_bytes
-
-    out = bytearray(HEADER_BYTES + SECTION_HEADER_BYTES + storage)
-    # main header
-    out[0] = 0
-    out[1] = 1
-    np.frombuffer(out, "<u4", 5, 0)[1:5] = [1, 1, n, n]
-    np.frombuffer(out, "<u2", 11, 0)[10] = level
-    center = means.mean(axis=0) if n else np.zeros(3)
-    np.frombuffer(out, "<f4", 11, 0)[6:9] = center
-    np.frombuffer(out, "<f4", 11, 0)[9:11] = [min_sh, max_sh]
-    # section header
-    shdr = HEADER_BYTES
-    u32 = np.frombuffer(out, "<u4", 10, shdr)
-    u16 = np.frombuffer(out, "<u2", 21, shdr)
-    f32 = np.frombuffer(out, "<f4", 5, shdr)
-    u32[0] = n
-    u32[1] = n
-    if level >= 1:
-        u32[2] = bucket_size
-        u32[3] = full_buckets + len(partial_lens)
-        f32[4] = block_size
-        u16[10] = BUCKET_STORAGE_BYTES
-        u32[6] = 32767
-        u32[8] = full_buckets
-        u32[9] = len(partial_lens)
-    u32[7] = storage
-    u16[20] = sh_degree
-    # section data
-    base = HEADER_BYTES + SECTION_HEADER_BYTES
+    meta_bytes = len(partial_lens) * 4
+    buckets_bytes = (BUCKET_STORAGE_BYTES * (full_buckets + len(partial_lens))
+                     + meta_bytes) if level >= 1 else 0
+    storage = n * bps + buckets_bytes
+    body = bytearray(storage)
+    base = 0
     if level >= 1:
         if len(partial_lens):
-            np.frombuffer(out, "<u4", len(partial_lens), base)[:] = \
-                partial_lens
-        cb = base + len(partial_lens) * 4
-        np.frombuffer(out, "<f4", bucket_centers.size, cb)[:] = \
+            np.frombuffer(body, "<u4", len(partial_lens), 0)[:] = partial_lens
+        cb = meta_bytes
+        np.frombuffer(body, "<f4", bucket_centers.size, cb)[:] = \
             bucket_centers.ravel()
-        base += buckets_bytes
-    out[base:base + section_data_bytes] = rows.tobytes()
+        base = buckets_bytes
+    body[base:base + n * bps] = rows.tobytes()
+    fields = {
+        "n": n,
+        "bucket_size": bucket_size,
+        "bucket_count": full_buckets + len(partial_lens),
+        "block_size": block_size,
+        "full_buckets": full_buckets,
+        "partial_buckets": len(partial_lens),
+        "storage": storage,
+        "sh_degree": sh_degree,
+    }
+    return fields, bytes(body)
+
+
+def serialize_ksplat_sections(sections, compression_level: int = 0,
+                              block_size: float = DEFAULT_BLOCK_SIZE,
+                              bucket_size: int = DEFAULT_BUCKET_SIZE,
+                              minimum_alpha: float = 0.0) -> bytes:
+    """Encode one or more SplatData sections as a .ksplat buffer.
+
+    Multi-section output mirrors generateFromUncompressedSplatArrays over a
+    partitioned splat array (SplatBuffer.js:1177-1326 with the
+    SplatPartitioner's section list); the shared SH min/max range and
+    degree are computed globally across sections.
+    """
+    if compression_level not in (0, 1, 2):
+        raise ValueError("compression_level must be 0, 1 or 2")
+    level = compression_level
+    max_deg = min(2, max(sec.sh_degree for sec in sections))
+    arrs = [_prep_section(sec, minimum_alpha, max_deg) for sec in sections]
+
+    if max_deg:
+        min_sh = min(float(a[4].min()) for a in arrs if a[4].size)
+        max_sh = max(float(a[4].max()) for a in arrs if a[4].size)
+    else:
+        min_sh, max_sh = -_SH_HALF_RANGE, _SH_HALF_RANGE
+
+    encoded = [_encode_section(a, level, max_deg, block_size, bucket_size,
+                               min_sh, max_sh) for a in arrs]
+    total = sum(f["n"] for f, _ in encoded)
+    nsec = len(encoded)
+
+    size = (HEADER_BYTES + SECTION_HEADER_BYTES * nsec
+            + sum(len(b) for _, b in encoded))
+    out = bytearray(size)
+    out[0] = 0
+    out[1] = 1
+    np.frombuffer(out, "<u4", 5, 0)[1:5] = [nsec, nsec, total, total]
+    np.frombuffer(out, "<u2", 11, 0)[10] = level
+    all_means = np.concatenate([a[0] for a in arrs]) if total else \
+        np.zeros((1, 3), np.float32)
+    np.frombuffer(out, "<f4", 11, 0)[6:9] = all_means.mean(axis=0)
+    np.frombuffer(out, "<f4", 11, 0)[9:11] = [min_sh, max_sh]
+
+    data_base = HEADER_BYTES + SECTION_HEADER_BYTES * nsec
+    for i, (f, body) in enumerate(encoded):
+        shdr = HEADER_BYTES + i * SECTION_HEADER_BYTES
+        u32 = np.frombuffer(out, "<u4", 10, shdr)
+        u16 = np.frombuffer(out, "<u2", 21, shdr)
+        f32 = np.frombuffer(out, "<f4", 5, shdr)
+        u32[0] = f["n"]
+        u32[1] = f["n"]
+        if level >= 1:
+            u32[2] = f["bucket_size"]
+            u32[3] = f["bucket_count"]
+            f32[4] = f["block_size"]
+            u16[10] = BUCKET_STORAGE_BYTES
+            u32[6] = 32767
+            u32[8] = f["full_buckets"]
+            u32[9] = f["partial_buckets"]
+        u32[7] = f["storage"]
+        u16[20] = f["sh_degree"]
+        out[data_base:data_base + len(body)] = body
+        data_base += len(body)
     return bytes(out)
+
+
+def serialize_ksplat(splats: SplatData, compression_level: int = 0,
+                     block_size: float = DEFAULT_BLOCK_SIZE,
+                     bucket_size: int = DEFAULT_BUCKET_SIZE,
+                     minimum_alpha: float = 0.0,
+                     section_size: int | None = None) -> bytes:
+    """Encode SplatData as a .ksplat buffer.
+
+    ``section_size`` splits the data into multiple sections (progressive-
+    load friendly, like the reference's partitioned output)."""
+    if section_size and section_size < splats.num_splats:
+        sections = []
+        n = splats.num_splats
+        for start in range(0, n, section_size):
+            import jax as _jax
+            import jax.numpy as _jnp
+            sl = _jnp.arange(start, min(start + section_size, n))
+            sections.append(_jax.tree.map(lambda x: x[sl], splats))
+        return serialize_ksplat_sections(sections, compression_level,
+                                         block_size, bucket_size,
+                                         minimum_alpha)
+    return serialize_ksplat_sections([splats], compression_level,
+                                     block_size, bucket_size, minimum_alpha)
 
 
 def save_ksplat(splats: SplatData, path: str, compression_level: int = 0,

@@ -14,4 +14,5 @@ from .enums import (  # noqa: F401
 from .orbit import OrbitCamera  # noqa: F401
 from .raycaster import Hit, Ray, Raycaster  # noqa: F401
 from .scene import SplatScene  # noqa: F401
+from .splattree import SplatTree  # noqa: F401
 from .viewer import Viewer  # noqa: F401

@@ -164,3 +164,24 @@ def test_stereo_render():
     right = np.asarray(pair["right"]["color"])
     assert left.shape == right.shape
     assert np.abs(left - right).max() > 1e-3
+
+
+def test_splat_tree():
+    from gaussiansplats3d_tpu.viewer.splattree import SplatTree
+    splats = small_scene(3000)
+    tree = SplatTree(max_depth=4, max_centers_per_node=200)
+    tree.process_splats(splats)
+    total = sum(len(n.indices) for n in tree.nodes_with_indexes)
+    assert total == 3000
+    # every leaf's splats lie inside the leaf box
+    means = np.asarray(splats.means)
+    for node in tree.nodes_with_indexes:
+        pts = means[node.indices]
+        assert (pts >= node.min - 1e-5).all()
+        assert (pts <= node.max + 1e-5).all()
+    # box query returns a superset of the exact in-box splats
+    lo, hi = np.array([-0.5] * 3), np.array([0.5] * 3)
+    got = set(tree.query_box(lo, hi).tolist())
+    exact = set(np.nonzero(((means >= lo) & (means <= hi)).all(1))[0]
+                .tolist())
+    assert exact <= got
