@@ -85,16 +85,10 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
 
         t_idx = jax.lax.axis_index(TILE_AXIS)
         tile_lo = t_idx * local_tiles
-        from ..render.pipeline import resolve_backend
-        align = None
-        if resolve_backend(cfg) == "pallas":
-            from ..render.pallas_rasterize import CHUNK
-            align = CHUNK
         pairs = bin_and_sort(proj_all, cfg, capacity,
                              tile_range=(tile_lo, local_tiles),
-                             depth_bounds=(dmin, dmax),
-                             align_chunks=align)
-        eff_capacity = pairs.sorted_splat_idx.shape[0]
+                             depth_bounds=(dmin, dmax))
+        eff_capacity = capacity
         rec = gather_records(pack_splat_table(proj_all),
                              pairs.sorted_splat_idx, pairs.pair_valid,
                              pairs.presort_slot, pairs.splat_offsets,

@@ -82,8 +82,7 @@ def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig,
 def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
                  capacity: int,
                  tile_range: tuple | None = None,
-                 depth_bounds: tuple | None = None,
-                 align_chunks: int | None = None) -> BinnedPairs:
+                 depth_bounds: tuple | None = None) -> BinnedPairs:
     """Expand splats into depth-sorted per-tile pair lists (static shapes).
 
     Args:
@@ -93,11 +92,9 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
       depth_bounds: optional (dmin, dmax) scalars for the depth quantization
         range; multi-chip callers pass globally-reduced bounds so every shard
         quantizes identically.
-      align_chunks: when set, re-lay the sorted pair list out so every tile's
-        range STARTS on a multiple of `align_chunks` (padded CSR, gaps marked
-        invalid).  The Pallas compositor requires this so each chunk is one
-        aligned [chunk, 16] DMA; output arrays grow to
-        ``capacity + num_local_tiles * align_chunks``.
+    Tile ranges start at arbitrary offsets; the Pallas compositor reads
+    floor-aligned chunks and masks each tile's [start, start + count)
+    window, so no padded re-layout is needed.
     """
     if tile_range is None:
         tile_lo, num_tiles = 0, cfg.num_tiles
@@ -151,11 +148,10 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
     key = (tile << cfg.sort_bits) | prow[:, 4]
     key = jnp.where(valid, key, jnp.int32(2147483647))
 
-    # Sort (key, presort-slot) only; splat ids are recovered with one
-    # gather through the ownership table (cheaper than a third operand).
-    sorted_key, sorted_slot = jax.lax.sort(
-        (key, slots), dimension=0, num_keys=1, is_stable=True)
-    sorted_idx = splat_of[jnp.clip(sorted_slot, 0, capacity - 1)]
+    # Three-operand sort: carrying the splat id as a sort value is far
+    # cheaper at scale than recovering it with a 16M-row gather afterwards.
+    sorted_key, sorted_slot, sorted_idx = jax.lax.sort(
+        (key, slots, splat_of), dimension=0, num_keys=1, is_stable=True)
     sorted_tile = sorted_key >> cfg.sort_bits
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -163,52 +159,15 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
     ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
     counts_t = ends - starts
 
-    if align_chunks is None:
-        valid_s = jnp.arange(capacity) < jnp.minimum(total, capacity)
-        return BinnedPairs(
-            sorted_splat_idx=sorted_idx,
-            pair_valid=valid_s,
-            tile_starts=starts,
-            tile_counts=counts_t,
-            total_pairs=total,
-            overflow=overflow,
-            presort_slot=jnp.where(valid_s, sorted_slot, capacity),
-            splat_offsets=offsets,
-            splat_counts=counts,
-        )
-
-    # Padded-CSR re-layout: tile t occupies [padded_starts[t],
-    # padded_starts[t] + ceil(counts[t]/c)*c), gap slots invalid.
-    c = align_chunks
-    padded_counts = -(-counts_t // c) * c
-    padded_starts = (jnp.cumsum(padded_counts) - padded_counts
-                     ).astype(jnp.int32)
-    padded_cap = capacity + num_tiles * c            # static worst case
-    pslots = jnp.arange(padded_cap, dtype=jnp.int32)
-    pmarks = jnp.zeros((padded_cap,), jnp.int32)
-    # all-empty leading tiles share padded_start 0; scatter-add keeps the
-    # cumsum pointing at the LAST tile with start <= slot, matching the
-    # searchsorted('right') - 1 semantics
-    pmarks = pmarks.at[padded_starts].add(1, mode="drop")
-    tile_of_p = jnp.cumsum(pmarks).astype(jnp.int32) - 1
-    tile_of_p = jnp.clip(tile_of_p, 0, num_tiles - 1)
-    tpacked = jnp.stack([padded_starts, starts, counts_t], axis=1)
-    trow = tpacked[tile_of_p]
-    rank = pslots - trow[:, 0]
-    src = jnp.clip(trow[:, 1] + rank, 0, capacity - 1)
-    valid_p = rank < trow[:, 2]
-
-    spacked = jnp.stack([sorted_idx, sorted_slot], axis=1)
-    srow = spacked[src]                       # one fused [padded_cap, 2]
-
+    valid_s = jnp.arange(capacity) < jnp.minimum(total, capacity)
     return BinnedPairs(
-        sorted_splat_idx=srow[:, 0],
-        pair_valid=valid_p,
-        tile_starts=padded_starts,
+        sorted_splat_idx=sorted_idx,
+        pair_valid=valid_s,
+        tile_starts=starts,
         tile_counts=counts_t,
         total_pairs=total,
         overflow=overflow,
-        presort_slot=jnp.where(valid_p, srow[:, 1], capacity),
+        presort_slot=jnp.where(valid_s, sorted_slot, capacity),
         splat_offsets=offsets,
         splat_counts=counts,
     )

@@ -95,14 +95,20 @@ def _pixel_coords(tile_id, cfg: RenderConfig):
     return px, py
 
 
-def _chunk_alpha_block(rec, px, py, count, k, min_alpha):
+def _window_mask(chunk_base, start, count):
+    """[1, C] bool: which lanes of a floor-aligned chunk fall inside the
+    tile's [start, start + count) pair window."""
+    gpos = chunk_base + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    return (gpos >= start) & (gpos < start + count)
+
+
+def _chunk_alpha_block(rec, px, py, window, min_alpha):
     """Alpha for one chunk: rec [16, C] -> (alpha [P, C], dx, dy, g)."""
     mx, my = rec[0:1, :], rec[1:2, :]                 # [1, C]
     ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
     opa = rec[8:9, :]
     rx, ry = rec[9:10, :], rec[10:11, :]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    opa = jnp.where(k * CHUNK + lane < count, opa, 0.0)
+    opa = jnp.where(window, opa, 0.0)
 
     dx = px - mx                                      # [P, C]
     dy = py - my
@@ -196,10 +202,13 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
     def kernel(starts_ref, counts_ref, ids_ref, rec_hbm,
                colors_out, logt_out, exit_k_out, chunk_vmem, sem):
         i = pl.program_id(0)
-        start_chunk = starts_ref[i] // CHUNK
+        start = starts_ref[i]
+        start_chunk = start // CHUNK
         count = counts_ref[i]
         px, py = _pixel_coords(ids_ref[i], cfg)
-        num_chunks = pl.cdiv(count, CHUNK)
+        # floor-aligned chunk window: tile pairs need not start on a chunk
+        # boundary; the head/tail lanes outside [start, start+count) mask out
+        num_chunks = pl.cdiv(start % CHUNK + count, CHUNK)
 
         def dma_for(k):
             slot = jax.lax.rem(k, 2)
@@ -219,7 +228,8 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
                 dma_for(k + 1).start()
             dma_for(k).wait()
             rec = chunk_vmem[jax.lax.rem(k, 2)]
-            alpha, _, _, _ = _chunk_alpha_block(rec, px, py, count, k,
+            window = _window_mask((start_chunk + k) * CHUNK, start, count)
+            alpha, _, _, _ = _chunk_alpha_block(rec, px, py, window,
                                                 cfg.min_alpha)
             logw = jnp.log1p(-alpha)                  # [P, C]
             incl = _prefix_sum_lanes(logw)
@@ -285,13 +295,15 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
     p = cfg.tile_size * cfg.tile_size
 
     def kernel(starts_ref, counts_ref, ids_ref, exit_k_ref,
-               rec_hbm, logt_blk, gcol_blk, glogt_blk,
+               rec_hbm, logt_blk, gcol_blk, glogt_blk, grad_in_hbm,
                grad_hbm, chunk_vmem, grad_vmem, sem, wsem):
+        del grad_in_hbm   # aliased with grad_hbm (the output ref)
         i = pl.program_id(0)
-        start_chunk = starts_ref[i] // CHUNK
+        start = starts_ref[i]
+        start_chunk = start // CHUNK
         count = counts_ref[i]
         px, py = _pixel_coords(ids_ref[i], cfg)
-        num_chunks = pl.cdiv(count, CHUNK)
+        num_chunks = pl.cdiv(start % CHUNK + count, CHUNK)
         k_exit = exit_k_ref[i]
 
         logt_fin_t = logt_blk[0]                      # [P, 1]
@@ -319,7 +331,8 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
                 dma_for(k - 1).start()
             dma_for(k).wait()
             rec = chunk_vmem[jax.lax.rem(k, 2)]
-            alpha, dx, dy, g = _chunk_alpha_block(rec, px, py, count, k,
+            window = _window_mask((start_chunk + k) * CHUNK, start, count)
+            alpha, dx, dy, g = _chunk_alpha_block(rec, px, py, window,
                                                   cfg.min_alpha)
             logw = jnp.log1p(-alpha)                   # [P, C]
             incl = _prefix_sum_lanes(logw)
@@ -342,9 +355,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             d_opa_frag = d_alpha * jnp.exp(-0.5 * g)
             d_quad = d_alpha * (-0.5 * alpha)
             ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-            maskc = ((k * CHUNK + lane < count).astype(jnp.float32)
-                     * active)                          # [1, C]
+            maskc = window.astype(jnp.float32) * active  # [1, C]
 
             def rowsum(x):
                 return jnp.sum(x, axis=0, keepdims=True)   # [1, C]
@@ -359,19 +370,19 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
                 rowsum(d_opa_frag) * maskc,
                 jnp.zeros((RECORD_WIDTH - 9, CHUNK), jnp.float32),
             ], axis=0)                                      # [16, C]
-            # Alternate between two grad staging slots so the outbound DMA
-            # overlaps the next chunk's compute; wait on the slot we are
-            # about to reuse.
-            slot = jax.lax.rem(k, 2)
-            @pl.when(k + 2 < num_chunks)
-            def _():
-                pltpu.make_async_copy(
-                    grad_vmem.at[slot], grad_hbm.at[start_chunk + k + 2],
-                    wsem.at[slot]).wait()
-            grad_vmem[slot] = gr
-            pltpu.make_async_copy(
-                grad_vmem.at[slot], grad_hbm.at[start_chunk + k],
-                wsem.at[slot]).start()
+            # Read-modify-write accumulation: adjacent tiles share
+            # floor-aligned boundary chunks, so contributions must ADD into
+            # the zero-initialized (aliased) gradient buffer.  Grid steps
+            # run sequentially per core, so the RMW is race-free.
+            rd = pltpu.make_async_copy(
+                grad_hbm.at[start_chunk + k], grad_vmem, wsem)
+            rd.start()
+            rd.wait()
+            grad_vmem[:, :] = grad_vmem[:, :] + gr
+            wr = pltpu.make_async_copy(
+                grad_vmem, grad_hbm.at[start_chunk + k], wsem)
+            wr.start()
+            wr.wait()
 
             sg = sg + active * jnp.sum(u, axis=1, keepdims=True)
             return k, logt_before, sg
@@ -381,17 +392,6 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
 
         init = (num_chunks, logt_fin_t, jnp.zeros((p, 1), jnp.float32))
         jax.lax.while_loop(cond, body, init)
-        # Drain the last (up to two) outbound grad writes so the staging
-        # slots and semaphores are clean for the next grid step.
-        @pl.when(num_chunks > 0)
-        def _():
-            pltpu.make_async_copy(
-                grad_vmem.at[0], grad_hbm.at[start_chunk], wsem.at[0]).wait()
-        @pl.when(num_chunks > 1)
-        def _():
-            pltpu.make_async_copy(
-                grad_vmem.at[1], grad_hbm.at[start_chunk + 1],
-                wsem.at[1]).wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -404,34 +404,29 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
                          memory_space=pltpu.VMEM),                # gcol
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # glogt
+            pl.BlockSpec(memory_space=pltpu.ANY),                 # grad in
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
-            pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
+            pltpu.VMEM((RECORD_WIDTH, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
 
+    # The gradient buffer is a donated zero-initialized INPUT: chunks the
+    # kernel never touches stay zero, and boundary chunks accumulate from
+    # both owning tiles.
+    grad_init = jnp.zeros(records.shape, jnp.float32)
     grad_records = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(records.shape, jnp.float32),
+        input_output_aliases={8: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile_starts, tile_counts, tile_ids, exit_k,
-      records, logt_fin[:, :, None], gcol, glogt[:, :, None])
-
-    # Chunks owned by no tile (capacity padding beyond the last tile's
-    # chunk-aligned end) are never written by the kernel — zero them before
-    # the pack transpose scatters them into splat gradients.  In-tile
-    # chunk-pad gaps ARE written (zeros, via the count mask).
-    nchunks = records.shape[0]
-    chunk_id = jnp.arange(nchunks, dtype=jnp.int32)
-    padded_end = tile_starts + (-(-tile_counts // CHUNK)) * CHUNK
-    end_chunk = jnp.max(padded_end) // CHUNK
-    grad_records = jnp.where(
-        (chunk_id < end_chunk)[:, None, None], grad_records, 0.0)
+      records, logt_fin[:, :, None], gcol, glogt[:, :, None], grad_init)
     return grad_records, None, None, None
 
 

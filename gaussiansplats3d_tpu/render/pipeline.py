@@ -180,12 +180,8 @@ def render(splats: SplatData, camera: Camera, cfg: RenderConfig,
     proj = project_splats(splats, camera, cfg, transforms, scene_indices,
                           scene_opacities, scene_visibility)
     capacity = cfg.pair_capacity(splats.num_splats)
-    align = None
-    if resolve_backend(cfg) == "pallas":
-        from .pallas_rasterize import CHUNK
-        align = CHUNK
-    pairs = bin_and_sort(proj, cfg, capacity, align_chunks=align)
-    eff_capacity = pairs.sorted_splat_idx.shape[0]
+    pairs = bin_and_sort(proj, cfg, capacity)
+    eff_capacity = capacity
     rec = gather_records(pack_splat_table(proj), pairs.sorted_splat_idx,
                          pairs.pair_valid, pairs.presort_slot,
                          pairs.splat_offsets, pairs.splat_counts)

@@ -43,7 +43,7 @@ from ..constants import (
     SQRT8,
 )
 from ..core import math3d
-from ..core.covariance import covariance_from_scale_quat
+from ..core.covariance import covariance6_elements, quadratic_form6
 from ..core.sh import eval_sh_color
 from ..core.types import Camera, RenderConfig, SplatData, derive_focal
 
@@ -153,28 +153,42 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
     w, h = cfg.width, cfg.height
     focal = derive_focal(camera.proj, w, h)
 
+    # NOTE on shapes: everything downstream stays in flat [N]/[N, 3]
+    # vectors.  XLA pads small trailing dims ([N, 3, 3], [N, 4, 4]) to full
+    # register tiles — a 32-57x HBM blowup that OOMs multi-million-splat
+    # scenes — so per-scene 4x4 math happens on the tiny [S, 4, 4] arrays
+    # and reaches the splats via row gathers.
     means = splats.means
     if transforms is not None:
         if scene_indices is None:
-            tf = jnp.broadcast_to(transforms.reshape(-1, 4, 4)[0], (1, 4, 4))
-            per_splat_tf = jnp.broadcast_to(tf, (n, 4, 4))
             scene_ids = jnp.zeros((n,), jnp.int32)
         else:
             scene_ids = scene_indices
-            per_splat_tf = transforms[scene_ids]
-        mv = camera.view[None] @ per_splat_tf            # [N, 4, 4]
-        m3 = mv[:, :3, :3]
-        view_center = jnp.einsum("nij,nj->ni", m3, means) + mv[:, :3, 3]
+        tfs = transforms.reshape(-1, 4, 4)
+        mv_s = camera.view[None] @ tfs                   # [S, 4, 4] (tiny)
+
+        def mv(i, j):
+            # one model-view entry, gathered per splat: [N] from [S]
+            return mv_s[:, i, j][scene_ids]
+
+        mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+        view_center = jnp.stack([
+            mv(0, 0) * mx + mv(0, 1) * my + mv(0, 2) * mz + mv(0, 3),
+            mv(1, 0) * mx + mv(1, 1) * my + mv(1, 2) * mz + mv(1, 3),
+            mv(2, 0) * mx + mv(2, 1) * my + mv(2, 2) * mz + mv(2, 3),
+        ], axis=1)
         # SH view directions are evaluated in model-local space:
         # normalize(center - inverse(transform) * cameraPosition)
-        # (SplatMaterial.js:179-187).
-        inv_tf = jnp.linalg.inv(per_splat_tf)
-        local_cam = jnp.einsum("nij,j->ni", inv_tf[:, :3, :3], camera.cam_pos) \
-            + inv_tf[:, :3, 3]
-        dirs = math3d.normalize(means - local_cam)
+        # (SplatMaterial.js:179-187) — inverses on the [S] scene axis.
+        inv_tf_s = jnp.linalg.inv(tfs)                   # [S, 4, 4] (tiny)
+        local_cam_s = (inv_tf_s[:, :3, :3] @ camera.cam_pos
+                       + inv_tf_s[:, :3, 3])             # [S, 3]
+        dirs = math3d.normalize(means - local_cam_s[scene_ids])
+        m3e = [[mv(i, j) for j in range(3)] for i in range(3)]
     else:
         scene_ids = None
         m3 = camera.view[:3, :3]
+        m3e = [[m3[i, j] for j in range(3)] for i in range(3)]
         view_center = means @ m3.T + camera.view[:3, 3]
         dirs = math3d.normalize(means - camera.cam_pos)
 
@@ -188,14 +202,12 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
     ndc = clip[:, :2] / safe_w[:, None]
     mean2d = (ndc + 1.0) * 0.5 * jnp.array([w, h], jnp.float32)
 
-    # --- EWA 2D covariance ---
-    cov3d = covariance_from_scale_quat(splats.scales, splats.quats)  # [N,3,3]
+    # --- EWA 2D covariance --- (flat elementwise; no [N, 3, 3] tensors)
+    cov6 = covariance6_elements(splats.scales, splats.quats)
     if cfg.orthographic:
         # J = diag(fx, fy): pixels per world unit (SplatMaterial3D.js:112-116).
-        if transforms is None:
-            jw = jnp.broadcast_to((m3[:2, :] * focal[:, None])[None], (n, 2, 3))
-        else:
-            jw = m3[:, :2, :] * focal[None, :, None]
+        u = tuple(focal[0] * m3e[0][j] for j in range(3))
+        v = tuple(focal[1] * m3e[1][j] for j in range(3))
     else:
         z = view_center[:, 2]
         z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
@@ -207,19 +219,13 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
         j02 = -focal[0] * x * inv_z * inv_z
         j11 = focal[1] * inv_z
         j12 = -focal[1] * y * inv_z * inv_z
-        if transforms is None:
-            m3b = jnp.broadcast_to(m3[None], (n, 3, 3))
-        else:
-            m3b = m3
-        # jw = J[:2] @ M3  ([N, 2, 3])
-        jw_row0 = j00[:, None] * m3b[:, 0, :] + j02[:, None] * m3b[:, 2, :]
-        jw_row1 = j11[:, None] * m3b[:, 1, :] + j12[:, None] * m3b[:, 2, :]
-        jw = jnp.stack([jw_row0, jw_row1], axis=1)
+        # rows of J[:2] @ M3, each component a flat [N] array
+        u = tuple(j00 * m3e[0][j] + j02 * m3e[2][j] for j in range(3))
+        v = tuple(j11 * m3e[1][j] + j12 * m3e[2][j] for j in range(3))
 
-    t0 = jnp.einsum("nij,njk->nik", jw, cov3d)           # [N, 2, 3]
-    cov2d_full = jnp.einsum("nij,nkj->nik", t0, jw)      # [N, 2, 2]
-    cov2d = jnp.stack([cov2d_full[:, 0, 0], cov2d_full[:, 0, 1],
-                       cov2d_full[:, 1, 1]], axis=-1)
+    cov2d = jnp.stack([quadratic_form6(cov6, u, u),
+                       quadratic_form6(cov6, u, v),
+                       quadratic_form6(cov6, v, v)], axis=-1)
 
     cov_eval, compensation, radius, eig_valid = _eval_covariance2d(cov2d, cfg)
     conic = conic_from_cov(cov_eval)

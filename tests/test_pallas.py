@@ -40,9 +40,9 @@ def build_inputs(n=800, sh_degree=0, width=96, height=96, seed=7):
     cfg = gs.RenderConfig(width=width, height=height, sh_degree=sh_degree)
     proj = projection.project_splats(splats, cam, cfg)
     cap = cfg.pair_capacity(n)
-    pairs = binning.bin_and_sort(proj, cfg, cap, align_chunks=pr.CHUNK)
+    pairs = binning.bin_and_sort(proj, cfg, cap)
     recs = pipeline.gather_pair_records(proj, pairs)
-    eff = pairs.sorted_splat_idx.shape[0]
+    eff = cap
     tile_ids = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
     return cfg, pairs, recs, eff, tile_ids
 
@@ -109,17 +109,17 @@ def test_full_pipeline_pallas_backend():
         assert float(jnp.abs(a - b).max()) / scale < 1e-2, name
 
 
-def test_aligned_binning_layout():
+def test_binning_layout_invariants():
     cfg, pairs, recs, eff, _ = build_inputs(n=600)
     starts = np.asarray(pairs.tile_starts)
     counts = np.asarray(pairs.tile_counts)
-    assert (starts % pr.CHUNK == 0).all()
-    # Ranges are disjoint and ascending with chunk-padded strides.
-    padded = -(-counts // pr.CHUNK) * pr.CHUNK
-    assert (starts[1:] >= starts[:-1] + padded[:-1]).all()
-    # Valid mask matches counts.
+    # Ranges are contiguous and ascending (CSR over the sorted pair list).
+    assert (starts[1:] == starts[:-1] + counts[:-1]).all()
+    total = int(pairs.total_pairs)
+    assert starts[-1] + counts[-1] == min(total, eff)
     valid = np.asarray(pairs.pair_valid)
-    for t in range(len(starts)):
-        seg = valid[starts[t]:starts[t] + padded[t]]
-        assert seg[:counts[t]].all()
-        assert not seg[counts[t]:].any()
+    assert valid[:min(total, eff)].all()
+    assert not valid[min(total, eff):].any()
+    # presort slots of valid pairs form a permutation prefix
+    ps = np.asarray(pairs.presort_slot)[:min(total, eff)]
+    assert len(np.unique(ps)) == len(ps)
