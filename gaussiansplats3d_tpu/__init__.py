@@ -14,7 +14,7 @@ from .constants import MAX_SCENES  # noqa: F401
 from .core.types import Camera, RenderConfig, SplatData, random_splats  # noqa: F401
 from .io import load, save  # noqa: F401
 from .render.oracle import reference_render  # noqa: F401
-from .render.pipeline import render  # noqa: F401
+from .render.pipeline import render, render_batch, stack_cameras  # noqa: F401
 from .viewer import OrbitCamera, Viewer  # noqa: F401
 
 __version__ = "0.1.0"

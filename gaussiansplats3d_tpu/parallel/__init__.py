@@ -16,6 +16,11 @@ from .distributed import (  # noqa: F401
     load_checkpoint,
     save_checkpoint,
 )
+from .heuristics import (  # noqa: F401
+    DensifyConfig,
+    DensifyState,
+    densify_and_prune,
+)
 from .mesh import make_mesh  # noqa: F401
 from .sharded import sharded_render, sharded_render_tiles  # noqa: F401
 from .train import TrainState, make_train_step  # noqa: F401

@@ -193,3 +193,20 @@ def render(splats: SplatData, camera: Camera, cfg: RenderConfig,
         out["num_pairs"] = pairs.total_pairs
         out["overflow"] = pairs.overflow
     return out
+
+
+def render_batch(splats: SplatData, cameras: Camera, cfg: RenderConfig,
+                 **kwargs):
+    """Render a BATCH of cameras (leading axis on every Camera field).
+
+    Sequential `lax.map` over views inside one jit — the multi-view
+    training/stereo/video path (each view runs the full sorted pipeline;
+    views are independent).
+    """
+    return jax.lax.map(lambda cam: render(splats, cam, cfg, **kwargs),
+                       cameras)
+
+
+def stack_cameras(cams):
+    """[Camera, ...] -> one batched Camera pytree for render_batch."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
