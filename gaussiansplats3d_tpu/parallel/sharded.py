@@ -90,9 +90,7 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                              depth_bounds=(dmin, dmax))
         eff_capacity = capacity
         rec = gather_records(pack_splat_table(proj_all),
-                             pairs.sorted_splat_idx, pairs.pair_valid,
-                             pairs.presort_slot, pairs.splat_offsets,
-                             pairs.splat_counts)
+                             pairs.sorted_splat_idx, pairs.pair_valid)
         tile_colors, tile_logtrans = composite_pairs(
             cfg, eff_capacity, rec,
             pairs.tile_starts, pairs.tile_counts, tile_lo, local_tiles)

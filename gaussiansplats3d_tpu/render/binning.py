@@ -11,15 +11,23 @@ tile-binning decomposition, entirely on device and inside one jit:
 2. each pair gets a fused key ``tile_id << sort_bits | quantized_depth`` —
    the depth quantization follows the sorter's distance map
    (sorter.cpp:142-149, 2^sort_bits buckets);
-3. one stable radix sort of the fused keys yields, per tile, a contiguous
-   front-to-back splat list;
+3. one stable sort of the fused keys (carrying splat ids) yields, per tile,
+   a contiguous front-to-back splat list;
 4. per-tile ranges are recovered with binary searches.
 
-Everything is static-shaped for XLA: the pair list has a fixed capacity and
-overflow pairs are dropped (counted in ``overflow`` so callers can resize).
-The expansion uses the searchsorted trick — pair slot *i* belongs to the
-splat whose cumulative-pair-offset interval contains *i* — which is fully
-vectorized (no data-dependent loops).
+Pair expansion is GATHER-FREE for typical splats (random gathers are the
+scaling wall on TPU — a 16M-row ownership gather costs ~0.5 s on v5e):
+
+- splats whose tile rect fits ``SMALL_K x SMALL_K`` (the overwhelming
+  majority at real splat sizes) emit exactly K = SMALL_K^2 key slots each,
+  k-major, every key a pure elementwise expression over [N] vectors;
+  out-of-rect slots get the sentinel key and sort to the tail;
+- bigger splats go through a scatter+prefix-sum ownership table over a
+  small auxiliary capacity (``capacity // 4``), where the per-pair row
+  gather is affordable because few splats are big.
+
+Everything is static-shaped for XLA; the sorted list is truncated to
+`capacity` and dropped pairs are counted in ``overflow``.
 """
 
 from __future__ import annotations
@@ -31,6 +39,9 @@ import jax.numpy as jnp
 
 from ..core.types import RenderConfig
 from .projection import ProjectedSplats, quantize_depth
+
+SMALL_K = 2                     # small-splat rect side, in tiles
+_SENTINEL = jnp.int32(2147483647)
 
 
 @jax.tree_util.register_dataclass
@@ -44,12 +55,6 @@ class BinnedPairs:
     tile_counts: jnp.ndarray        # [num_tiles] int32
     total_pairs: jnp.ndarray        # [] int32 (pre-overflow-clamp)
     overflow: jnp.ndarray           # [] int32 pairs dropped due to capacity
-    # Gradient-reduction plumbing (see pipeline.gather_records): the
-    # pre-sort slot each pair came from (pre-sort order is grouped by
-    # splat), and each splat's contiguous pre-sort segment.
-    presort_slot: jnp.ndarray       # [capacity] int32 (invalid -> capacity)
-    splat_offsets: jnp.ndarray      # [N] int32
-    splat_counts: jnp.ndarray       # [N] int32
 
 
 def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig,
@@ -92,6 +97,7 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
       depth_bounds: optional (dmin, dmax) scalars for the depth quantization
         range; multi-chip callers pass globally-reduced bounds so every shard
         quantizes identically.
+
     Tile ranges start at arbitrary offsets; the Pallas compositor reads
     floor-aligned chunks and masks each tile's [start, start + count)
     window, so no padded re-layout is needed.
@@ -118,56 +124,74 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
     else:
         ty_lo, ty_hi = 0, cfg.tiles_y
 
+    n = proj.opacity.shape[0]
     tx0, tx1, ty0, ty1, counts = tile_bounds(proj, cfg, ty_lo, ty_hi)
     depth_q = quantize_depth(proj.depth, proj.mask, cfg.sort_bits,
                              depth_bounds)
 
-    offsets = jnp.cumsum(counts) - counts          # exclusive prefix sum
-    total = offsets[-1] + counts[-1]
-    overflow = jnp.maximum(total - capacity, 0)
+    width = tx1 - tx0 + 1
+    height = ty1 - ty0 + 1
+    small = (counts > 0) & (width <= SMALL_K) & (height <= SMALL_K)
+    big = (counts > 0) & ~small
 
-    # Pair slot i -> owning splat.  A searchsorted would cost ~20 random
-    # gather passes on TPU; instead scatter a 1 at each splat's first slot
-    # and prefix-sum (splat_of = #offsets <= slot - 1), then fetch all the
-    # per-splat fields a pair needs with ONE packed row gather.
-    slots = jnp.arange(capacity, dtype=jnp.int32)
-    marks = jnp.zeros((capacity,), jnp.int32).at[offsets].add(
-        1, mode="drop")
-    splat_of = jnp.cumsum(marks).astype(jnp.int32) - 1
-    splat_of = jnp.clip(splat_of, 0, counts.shape[0] - 1)
-    valid = slots < total
+    # --- small splats: K elementwise key lanes, no gathers ---------------
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    small_keys = []
+    for k in range(SMALL_K * SMALL_K):
+        dy, dx = k // SMALL_K, k % SMALL_K
+        in_rect = small & (dx < width) & (dy < height)
+        tile_k = (ty0 + dy) * cfg.tiles_x + (tx0 + dx) - tile_lo
+        key_k = jnp.where(in_rect, (tile_k << cfg.sort_bits) | depth_q,
+                          _SENTINEL)
+        small_keys.append(key_k)
+    keys_small = jnp.concatenate(small_keys)             # [K*N] k-major
+    splat_small = jnp.tile(iota_n, SMALL_K * SMALL_K)
 
-    packed = jnp.stack(
-        [offsets, tx1 - tx0 + 1, tx0, ty0, depth_q], axis=1)  # [N, 5] i32
-    prow = packed[splat_of]                                   # one gather
-    rank = slots - prow[:, 0]
-    width = prow[:, 1]
-    dy, dx = rank // width, rank % width
-    tile = (prow[:, 3] + dy) * cfg.tiles_x + (prow[:, 2] + dx) - tile_lo
+    # --- big splats: ownership table over a small auxiliary capacity -----
+    big_capacity = max(256, capacity // 4)
+    counts_big = jnp.where(big, counts, 0)
+    offsets_big = jnp.cumsum(counts_big) - counts_big
+    total_big = offsets_big[-1] + counts_big[-1]
+    slots_b = jnp.arange(big_capacity, dtype=jnp.int32)
+    marks = jnp.zeros((big_capacity,), jnp.int32).at[
+        jnp.where(big, offsets_big, big_capacity)].add(1, mode="drop")
+    splat_of_b = jnp.clip(jnp.cumsum(marks).astype(jnp.int32) - 1, 0, n - 1)
+    packed = jnp.stack([offsets_big, width, tx0, ty0, depth_q], axis=1)
+    prow = packed[splat_of_b]
+    rank = slots_b - prow[:, 0]
+    bw = prow[:, 1]
+    bdy, bdx = rank // bw, rank % bw
+    tile_b = (prow[:, 3] + bdy) * cfg.tiles_x + (prow[:, 2] + bdx) - tile_lo
+    valid_b = slots_b < jnp.minimum(total_big, big_capacity)
+    key_b = jnp.where(valid_b, (tile_b << cfg.sort_bits) | prow[:, 4],
+                      _SENTINEL)
 
-    key = (tile << cfg.sort_bits) | prow[:, 4]
-    key = jnp.where(valid, key, jnp.int32(2147483647))
+    # --- one fused sort over both populations ----------------------------
+    keys = jnp.concatenate([keys_small, key_b])
+    splat_arr = jnp.concatenate([splat_small, splat_of_b])
+    sorted_key, sorted_idx = jax.lax.sort(
+        (keys, splat_arr), dimension=0, num_keys=1, is_stable=True)
+    sorted_key = sorted_key[:capacity]
+    sorted_idx = sorted_idx[:capacity]
+    sorted_tile = jnp.where(sorted_key == _SENTINEL, jnp.int32(num_tiles),
+                            sorted_key >> cfg.sort_bits)
 
-    # Three-operand sort: carrying the splat id as a sort value is far
-    # cheaper at scale than recovering it with a 16M-row gather afterwards.
-    sorted_key, sorted_slot, sorted_idx = jax.lax.sort(
-        (key, slots, splat_of), dimension=0, num_keys=1, is_stable=True)
-    sorted_tile = sorted_key >> cfg.sort_bits
+    total_small = jnp.sum(jnp.where(small, counts, 0))
+    total = total_small + total_big
+    overflow = (jnp.maximum(total - capacity, 0)
+                + jnp.maximum(total_big - big_capacity, 0))
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
-    counts_t = ends - starts
+    starts = jnp.searchsorted(sorted_tile, tile_ids,
+                              side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tile_ids,
+                            side="right").astype(jnp.int32)
 
-    valid_s = jnp.arange(capacity) < jnp.minimum(total, capacity)
     return BinnedPairs(
         sorted_splat_idx=sorted_idx,
-        pair_valid=valid_s,
+        pair_valid=sorted_key != _SENTINEL,
         tile_starts=starts,
-        tile_counts=counts_t,
+        tile_counts=ends - starts,
         total_pairs=total,
         overflow=overflow,
-        presort_slot=jnp.where(valid_s, sorted_slot, capacity),
-        splat_offsets=offsets,
-        splat_counts=counts,
     )

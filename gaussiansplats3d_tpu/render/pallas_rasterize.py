@@ -296,7 +296,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
 
     def kernel(starts_ref, counts_ref, ids_ref, exit_k_ref,
                rec_hbm, logt_blk, gcol_blk, glogt_blk, grad_in_hbm,
-               grad_hbm, chunk_vmem, grad_vmem, sem, wsem):
+               grad_hbm, chunk_vmem, gin_vmem, gout_vmem, sem, gsem, wsem):
         del grad_in_hbm   # aliased with grad_hbm (the output ref)
         i = pl.program_id(0)
         start = starts_ref[i]
@@ -316,19 +316,39 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
                 rec_hbm.at[start_chunk + k], chunk_vmem.at[slot],
                 sem.at[slot])
 
-        @pl.when(num_chunks > 0)
+        def grad_read_for(k):
+            slot = jax.lax.rem(k, 2)
+            return pltpu.make_async_copy(
+                grad_hbm.at[start_chunk + k], gin_vmem.at[slot],
+                gsem.at[slot])
+
+        def grad_write_for(k):
+            slot = jax.lax.rem(k, 2)
+            return pltpu.make_async_copy(
+                gout_vmem.at[slot], grad_hbm.at[start_chunk + k],
+                wsem.at[slot])
+
+        # Replay starts at the forward's exit chunk: chunks beyond it never
+        # ran forward, contribute zero gradient (the buffer is zero-init)
+        # and must not perturb the transmittance replay — skip them.
+        @pl.when(k_exit > 0)
         def _():
-            dma_for(num_chunks - 1).start()
+            dma_for(k_exit - 1).start()
+            grad_read_for(k_exit - 1).start()
 
         def body(state):
             k, logt_after, sg = state
             k = k - 1
-            # Chunks at k >= k_exit never ran forward: their grads are zero
-            # and they must not perturb the transmittance replay.
-            active = (k < k_exit).astype(jnp.float32)
+            active = jnp.float32(1.0)
             @pl.when(k > 0)
             def _():
                 dma_for(k - 1).start()
+                # before reusing gin slot (k-1)%2 = (k+1)%2, its previous
+                # outbound write (chunk k+1) must have drained
+                @pl.when(k + 1 < k_exit)
+                def _():
+                    grad_write_for(k + 1).wait()
+                grad_read_for(k - 1).start()
             dma_for(k).wait()
             rec = chunk_vmem[jax.lax.rem(k, 2)]
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
@@ -370,19 +390,17 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
                 rowsum(d_opa_frag) * maskc,
                 jnp.zeros((RECORD_WIDTH - 9, CHUNK), jnp.float32),
             ], axis=0)                                      # [16, C]
-            # Read-modify-write accumulation: adjacent tiles share
-            # floor-aligned boundary chunks, so contributions must ADD into
-            # the zero-initialized (aliased) gradient buffer.  Grid steps
-            # run sequentially per core, so the RMW is race-free.
-            rd = pltpu.make_async_copy(
-                grad_hbm.at[start_chunk + k], grad_vmem, wsem)
-            rd.start()
-            rd.wait()
-            grad_vmem[:, :] = grad_vmem[:, :] + gr
-            wr = pltpu.make_async_copy(
-                grad_vmem, grad_hbm.at[start_chunk + k], wsem)
-            wr.start()
-            wr.wait()
+            # Pipelined read-modify-write accumulation: adjacent tiles
+            # share floor-aligned boundary chunks, so contributions ADD
+            # into the zero-initialized (aliased) gradient buffer.  The
+            # inbound grad read was prefetched one iteration ago; the
+            # outbound write drains before its staging slot is reused and
+            # fully at kernel end (the next grid step may touch the
+            # boundary chunk).
+            slot = jax.lax.rem(k, 2)
+            grad_read_for(k).wait()
+            gout_vmem[slot] = gin_vmem[slot] + gr
+            grad_write_for(k).start()
 
             sg = sg + active * jnp.sum(u, axis=1, keepdims=True)
             return k, logt_before, sg
@@ -390,8 +408,16 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         def cond(state):
             return state[0] > 0
 
-        init = (num_chunks, logt_fin_t, jnp.zeros((p, 1), jnp.float32))
+        init = (k_exit, logt_fin_t, jnp.zeros((p, 1), jnp.float32))
         jax.lax.while_loop(cond, body, init)
+        # Drain outstanding grad writes (chunks 0 and 1) so the next grid
+        # step sees fully-written boundary chunks.
+        @pl.when(k_exit > 0)
+        def _():
+            grad_write_for(0).wait()
+        @pl.when(k_exit > 1)
+        def _():
+            grad_write_for(1).wait()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -409,9 +435,11 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
-            pltpu.VMEM((RECORD_WIDTH, CHUNK), jnp.float32),
+            pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
+            pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 

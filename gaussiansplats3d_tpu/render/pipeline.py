@@ -75,40 +75,45 @@ def pack_splat_table(proj: ProjectedSplats) -> jnp.ndarray:
 
 
 @jax.custom_vjp
-def gather_records(table, idx, valid, presort_slot, offsets, counts):
+def gather_records(table, idx, valid):
     """records[cap, 16] = table[idx] with invalid slots' opacity zeroed.
 
     The custom VJP avoids XLA scatter-adds (hundreds of ms for multi-column
-    rows on TPU): pair-gradients are permuted back to PRE-SORT order — which
-    is grouped by splat — then reduced per splat with one cumulative-sum
-    segment difference.
+    rows on TPU): pair-gradients are re-grouped by SPLAT ID with one key
+    sort + row gather, then reduced per splat with a cumulative-sum segment
+    difference whose boundaries come from binary searches over the sorted
+    ids.  Invalid slots carry zero gradients (the compositor never writes
+    them), so aliased ids are harmless.
     """
-    rec = table[idx]
+    rec = table[jnp.clip(idx, 0, table.shape[0] - 1)]
     return rec.at[:, _OPACITY_COL].multiply(valid)
 
 
-def _gather_records_fwd(table, idx, valid, presort_slot, offsets, counts):
-    return (gather_records(table, idx, valid, presort_slot, offsets, counts),
-            (valid, presort_slot, offsets, counts, table.shape[0]))
+def _gather_records_fwd(table, idx, valid):
+    return (gather_records(table, idx, valid),
+            (idx, valid, table.shape[0]))
 
 
 def _gather_records_bwd(res, g):
-    valid, presort_slot, offsets, counts, n = res
-    cap = presort_slot.shape[0]
+    idx, valid, n = res
+    cap = idx.shape[0]
     g = g.at[:, _OPACITY_COL].multiply(valid)
-    # Inverse permutation via one sort: invalid slots carry the sentinel
-    # `cap` so they land (stably) at the tail and are never read back.
-    _, inv = jax.lax.sort((presort_slot,
-                           jnp.arange(cap, dtype=jnp.int32)),
-                          dimension=0, num_keys=1, is_stable=True)
-    g_presort = g[inv]
-    prefix = jnp.cumsum(g_presort, axis=0)
+    g = jnp.where(valid[:, None], g, 0.0)
+    key = jnp.where(valid, idx, n)      # invalid -> tail
+    _, inv = jax.lax.sort(
+        (key, jnp.arange(cap, dtype=jnp.int32)),
+        dimension=0, num_keys=1, is_stable=True)
+    g_grouped = g[inv]
+    prefix = jnp.cumsum(g_grouped, axis=0)
     prefix = jnp.concatenate(
         [jnp.zeros((1, g.shape[1]), g.dtype), prefix], axis=0)
-    ends = jnp.clip(offsets + counts, 0, cap)
-    starts = jnp.clip(offsets, 0, cap)
+    # Per-splat segment boundaries from a 1-wide histogram scatter (a
+    # searchsorted here would cost ~20 random-gather passes over [cap]).
+    retained = jnp.zeros((n + 1,), jnp.int32).at[key].add(1, mode="drop")
+    ends = jnp.cumsum(retained[:n])
+    starts = ends - retained[:n]
     g_table = prefix[ends] - prefix[starts]
-    return g_table, None, None, None, None, None
+    return g_table, None, None
 
 
 gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
@@ -121,9 +126,7 @@ def gather_pair_records(proj: ProjectedSplats, pairs: BinnedPairs):
     nothing regardless of which splat index they alias.
     """
     table = pack_splat_table(proj)
-    rec = gather_records(table, pairs.sorted_splat_idx, pairs.pair_valid,
-                         pairs.presort_slot, pairs.splat_offsets,
-                         pairs.splat_counts)
+    rec = gather_records(table, pairs.sorted_splat_idx, pairs.pair_valid)
     return (rec[:, 0:2], rec[:, 2:5], rec[:, 5:8], rec[:, 8],
             rec[:, 9:11])
 
@@ -183,8 +186,7 @@ def render(splats: SplatData, camera: Camera, cfg: RenderConfig,
     pairs = bin_and_sort(proj, cfg, capacity)
     eff_capacity = capacity
     rec = gather_records(pack_splat_table(proj), pairs.sorted_splat_idx,
-                         pairs.pair_valid, pairs.presort_slot,
-                         pairs.splat_offsets, pairs.splat_counts)
+                         pairs.pair_valid)
     tile_colors, tile_logtrans = composite_pairs(
         cfg, eff_capacity, rec,
         pairs.tile_starts, pairs.tile_counts, 0, cfg.num_tiles)

@@ -120,6 +120,3 @@ def test_binning_layout_invariants():
     valid = np.asarray(pairs.pair_valid)
     assert valid[:min(total, eff)].all()
     assert not valid[min(total, eff):].any()
-    # presort slots of valid pairs form a permutation prefix
-    ps = np.asarray(pairs.presort_slot)[:min(total, eff)]
-    assert len(np.unique(ps)) == len(ps)
