@@ -175,6 +175,16 @@ class RenderConfig:
     pair_multiplier: float = 4.0
     # Hard cap on the pair list (overrides pair_multiplier when smaller).
     max_pairs: Optional[int] = None
+    # Lanes in the fused expand+sort path (binning.bin_sort_records): each
+    # lane is N gather-free slots covering one tile of a splat's rect.
+    # 4 covers every rect up to 2x2 tiles (the overwhelming majority at
+    # real splat sizes); 2 covers 1x2/2x1; 1 covers single-tile only.
+    lanes: int = 4
+    # Aux-slot budget (multiple of N) for splats whose tile rect exceeds
+    # the lanes.  <= 0 disables the aux path entirely — its ownership
+    # scatter costs ~13 ns/splat even when no splat needs it — dropping
+    # (and counting in ``overflow``) any beyond-lane pairs.
+    aux_multiplier: float = 0.25
     # Splats processed per compositing chunk (MXU-friendly multiple of 128).
     chunk_size: int = 128
 
@@ -186,6 +196,8 @@ class RenderConfig:
             raise ValueError("sh_degree must be 0..3")
         if self.backend not in ("auto", "pallas", "jax"):
             raise ValueError("backend must be 'auto', 'pallas' or 'jax'")
+        if self.lanes not in (1, 2, 4):
+            raise ValueError("lanes must be 1, 2 or 4")
 
     @property
     def tiles_x(self) -> int:

@@ -74,6 +74,26 @@ def load(path: str, sh_degree: int | None = None,
     return data
 
 
+def parse(data: bytes, fmt: SceneFormat,
+          sh_degree: int | None = None) -> SplatData:
+    """Decode a complete in-memory buffer of the given format."""
+    if fmt == SceneFormat.Ply:
+        from .ply import parse_ply
+        return parse_ply(data, sh_degree)
+    if fmt == SceneFormat.Splat:
+        from .splat import parse_splat
+        out = parse_splat(data)
+    elif fmt == SceneFormat.KSplat:
+        from .ksplat import parse_ksplat
+        out = parse_ksplat(data)
+    else:
+        from .spz import parse_spz
+        return parse_spz(data, sh_degree)
+    if sh_degree is not None and out.sh_degree > sh_degree:
+        out = out.with_sh_degree(sh_degree)
+    return out
+
+
 def save(splats: SplatData, path: str, **kw) -> None:
     """Save SplatData in the format implied by the file extension."""
     fmt = scene_format_from_path(path)

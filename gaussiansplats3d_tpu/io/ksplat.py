@@ -87,8 +87,15 @@ def _f16_to_f32(u16arr: np.ndarray) -> np.ndarray:
     return u16arr.astype("<u2").view(np.float16).astype(np.float32)
 
 
-def parse_ksplat(data: bytes) -> SplatData:
-    """Decode a .ksplat buffer into SplatData (all sections concatenated)."""
+def parse_ksplat(data: bytes, max_bytes: int | None = None) -> SplatData:
+    """Decode a .ksplat buffer into SplatData (all sections concatenated).
+
+    ``max_bytes`` decodes only the valid PREFIX of a partially-downloaded
+    buffer: every splat whose record (and its section's bucket metadata)
+    lies below the watermark is returned — the progressive-load contract of
+    the reference (/root/reference/src/loaders/ksplat/KSplatLoader.js:119-180,
+    SplatBuffer.updateLoadedCounts :1038-1048).
+    """
     import jax.numpy as jnp
 
     header = parse_ksplat_header(data)
@@ -98,10 +105,13 @@ def parse_ksplat(data: bytes) -> SplatData:
     level = header.compression_level
     if level not in (0, 1, 2):
         raise ValueError(f"unsupported compression level {level}")
+    watermark = len(data) if max_bytes is None else min(max_bytes, len(data))
 
     parts = []
     section_base = (HEADER_BYTES
                     + header.max_section_count * SECTION_HEADER_BYTES)
+    if watermark < section_base:
+        raise ValueError(".ksplat prefix does not cover the section headers")
     for s in range(header.max_section_count):
         sh_off = HEADER_BYTES + s * SECTION_HEADER_BYTES
         u32 = np.frombuffer(data, "<u4", 10, sh_off)
@@ -122,7 +132,10 @@ def parse_ksplat(data: bytes) -> SplatData:
         buckets_bytes = (bucket_storage * bucket_count + meta_bytes
                          if level >= 1 else 0)
         data_base = section_base + buckets_bytes
-        n = max_splats
+        n_full = max_splats
+        # progressive watermark: only records fully below it are decodable
+        # (bucket metadata precedes the records, so a byte prefix is valid)
+        n = max(0, min(n_full, (watermark - data_base) // bps))
 
         if n > 0:
             rows = np.frombuffer(data, np.uint8, n * bps, data_base
@@ -152,7 +165,7 @@ def parse_ksplat(data: bytes) -> SplatData:
                 sfac, scale_range, header.min_sh, header.max_sh)
             if native is not None:
                 parts.append(native)
-                storage = int(u32[7]) or (n * bps + buckets_bytes)
+                storage = int(u32[7]) or (n_full * bps + buckets_bytes)
                 section_base += storage
                 continue
             if level == 0:
@@ -212,10 +225,12 @@ def parse_ksplat(data: bytes) -> SplatData:
             colors = colors_u8.astype(np.float32) / 255.0
             parts.append((means, scales, q_wxyz[:, [1, 2, 3, 0]], colors, sh))
 
-        storage = int(u32[7]) or (n * bps + buckets_bytes)
+        storage = int(u32[7]) or (n_full * bps + buckets_bytes)
         section_base += storage
 
     if not parts:
+        if max_bytes is not None:
+            return SplatData.zeros(0)
         raise ValueError(".ksplat contains no splats")
     max_deg = max(p[4].shape[1] for p in parts)
     means = np.concatenate([p[0] for p in parts])

@@ -101,11 +101,10 @@ def _vertex_recarray(data: bytes, header: PlyHeader) -> np.ndarray:
                              "elements of splat PLYs")
     if header.format == "ascii":
         body = data[header.header_size:].decode("ascii")
-        flat = np.fromstring(body, sep=" ") if hasattr(np, "fromstring") \
-            else np.fromiter(map(float, body.split()), float)
-        flat = np.asarray(flat, np.float64)[: count * len(props)]
+        flat = np.fromiter(map(float, body.split()), np.float64,
+                           count=count * len(props))
         table = flat.reshape(count, len(props))
-        rec = np.core.records.fromarrays(
+        rec = np.rec.fromarrays(
             [table[:, i] for i in range(len(props))],
             names=",".join(p[0] for p in props))
         return rec

@@ -39,16 +39,19 @@ class DensifyState:
     """Accumulated positional-gradient statistics between densify calls."""
 
     grad_accum: jnp.ndarray    # [N] sum of ||dL/dmean||
+    grad_vec: jnp.ndarray      # [N, 3] sum of dL/dmean (clone direction)
     count: jnp.ndarray         # [N] steps accumulated
 
     @staticmethod
     def create(n: int) -> "DensifyState":
         return DensifyState(grad_accum=jnp.zeros((n,), jnp.float32),
+                            grad_vec=jnp.zeros((n, 3), jnp.float32),
                             count=jnp.zeros((n,), jnp.int32))
 
     def update(self, mean_grads: jnp.ndarray) -> "DensifyState":
         norms = jnp.linalg.norm(mean_grads, axis=-1)
         return DensifyState(grad_accum=self.grad_accum + norms,
+                            grad_vec=self.grad_vec + mean_grads,
                             count=self.count + 1)
 
 
@@ -98,9 +101,16 @@ def densify_and_prune(params: SplatParams, state: DensifyState,
     # split: sample a point from the source Gaussian; shrink both copies.
     noise = jax.random.normal(k1, (budget, 3)) * src_scales
     offset = jnp.einsum("nij,nj->ni", src_rot, noise)
+    # clone: nudge the copy one step along the descent direction (the
+    # average accumulated -grad), scaled to the source's extent, so the
+    # pair separates immediately instead of waiting for the optimizer.
+    gvec = state.grad_vec[src] / jnp.maximum(state.count[src], 1)[:, None]
+    gnorm = jnp.linalg.norm(gvec, axis=-1, keepdims=True)
+    gdir = gvec / jnp.maximum(gnorm, 1e-12)
+    clone_nudge = -gdir * (0.5 * jnp.max(src_scales, axis=-1, keepdims=True))
     new_means = jnp.where(is_split[:, None],
                           params.means[src] + offset,
-                          params.means[src])
+                          params.means[src] + clone_nudge)
     new_log_scales = jnp.where(
         is_split[:, None],
         params.log_scales[src] - jnp.log(cfg.split_scale_factor),

@@ -109,7 +109,7 @@ def make_train_step(cfg: RenderConfig, mesh, optimizer,
     from .mesh import TILE_AXIS
 
     if capacity is None:
-        capacity = cfg.pair_capacity(1) * 0 + 0  # resolved per-call below
+        capacity = 0  # 0 = derive from splat count per call (below)
 
     def loss_fn(params: SplatParams, camera: Camera, target_tiles, tile_mask,
                 cap: int):

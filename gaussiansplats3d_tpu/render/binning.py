@@ -32,6 +32,7 @@ Everything is static-shaped for XLA; the sorted list is truncated to
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -82,6 +83,26 @@ def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig,
     ty1 = jnp.clip(ty1, ty_lo, ty_hi - 1)
     counts = jnp.where(inside, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
     return tx0, tx1, ty0, ty1, counts.astype(jnp.int32)
+
+
+def _segment_owner(big: jnp.ndarray, offsets: jnp.ndarray, cap: int,
+                   n: int) -> jnp.ndarray:
+    """Owning SPLAT INDEX for each slot of a segment table.
+
+    ``big`` marks the owning splats; splat i owns slots [offsets[i],
+    offsets[i] + counts[i]).  Scattering the index DELTA between
+    consecutive owners at each segment start makes the running sum
+    reconstruct true splat indices (a plain scatter-ones would only yield
+    owner ordinals).
+    """
+    iota = jnp.arange(offsets.shape[0], dtype=jnp.int32)
+    prev_incl = jax.lax.cummax(jnp.where(big, iota, -1))
+    prev_excl = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                 prev_incl[:-1]])
+    delta = jnp.where(big, iota - prev_excl, 0)
+    marks = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(big, offsets, cap)].add(delta, mode="drop")
+    return jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1).astype(jnp.int32)
 
 
 def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
@@ -153,9 +174,7 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
     offsets_big = jnp.cumsum(counts_big) - counts_big
     total_big = offsets_big[-1] + counts_big[-1]
     slots_b = jnp.arange(big_capacity, dtype=jnp.int32)
-    marks = jnp.zeros((big_capacity,), jnp.int32).at[
-        jnp.where(big, offsets_big, big_capacity)].add(1, mode="drop")
-    splat_of_b = jnp.clip(jnp.cumsum(marks).astype(jnp.int32) - 1, 0, n - 1)
+    splat_of_b = _segment_owner(big, offsets_big, big_capacity, n)
     packed = jnp.stack([offsets_big, width, tx0, ty0, depth_q], axis=1)
     prow = packed[splat_of_b]
     rank = slots_b - prow[:, 0]
@@ -195,3 +214,384 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
         total_pairs=total,
         overflow=overflow,
     )
+
+
+# ===========================================================================
+# Fused expand + sort + records path ("records ride the sort")
+# ===========================================================================
+#
+# The measured scaling wall on TPU is the random per-pair record gather
+# (12-15 ns per index: ~450 ms for 36M pair rows on v5e) and its mirror-image
+# re-grouping gather in the backward pass.  Both disappear when the record
+# FIELDS travel through `lax.sort` as extra value operands: a value operand
+# costs ~0.55 ns per slot per pass-set (measured: 36M-slot sort goes from
+# 152 ms at 2 operands to 192 ms at 4), an order of magnitude cheaper than
+# gathering the same data afterwards.
+#
+# Slot layout (S = 2N + aux_capacity, a CHUNK multiple):
+#   lane 0  [0,  N)   the first  covered tile of splats covering 1-2 tiles
+#   lane 1  [N, 2N)   the second covered tile of splats covering exactly 2
+#   aux     [2N, S)   every pair of splats covering >= 3 tiles, laid out by
+#                     a scatter-ones + prefix-sum ownership table
+# Lanes are pure elementwise expressions over [N] vectors (gather-free);
+# only the (rare) aux splats pay one row gather over the small aux range.
+# Unused slots carry a sentinel key and sort to the tail, outside every
+# tile's [start, start + count) window.
+#
+# The backward pass exploits that the sorted slot ids are a PERMUTATION of
+# 0..S-1: sorting (sorted_slot, grad columns) aligns every pair gradient
+# with its source slot in one shot — lane gradients are then plain [N]
+# slices and the aux segment-reduction runs over boundaries that are known
+# elementwise (the ownership offsets).  No histogram, no searchsorted, no
+# row gather.
+#
+# This supersedes the reference's whole sort machinery
+# (/root/reference/src/worker/sorter.cpp + SortWorker.js) on TPU while
+# keeping its ordering semantics (quantized-depth buckets, stable ties).
+
+_F16_SCALE = 16.0  # radius fixed-point: 1/16 px, exact in u16
+
+
+def _pack_f16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 -> one int32 carrying two f16 payloads (hi<<16 | lo)."""
+    h = jax.lax.bitcast_convert_type(hi.astype(jnp.float16), jnp.uint16)
+    l = jax.lax.bitcast_convert_type(lo.astype(jnp.float16), jnp.uint16)
+    return ((h.astype(jnp.uint32) << 16) | l.astype(jnp.uint32)).astype(
+        jnp.int32)
+
+
+def _unpack_f16_pair(packed: jnp.ndarray):
+    u = packed.astype(jnp.uint32)
+    hi = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16),
+                                      jnp.float16)
+    lo = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16),
+                                      jnp.float16)
+    return hi.astype(jnp.float32), lo.astype(jnp.float32)
+
+
+def _pack_u16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Two non-negative f32 (1/16-px fixed point) -> one int32."""
+    h = (hi * _F16_SCALE).astype(jnp.uint32)
+    l = (lo * _F16_SCALE).astype(jnp.uint32)
+    return ((h << 16) | (l & 0xFFFF)).astype(jnp.int32)
+
+
+def _unpack_u16_pair(packed: jnp.ndarray):
+    u = packed.astype(jnp.uint32)
+    inv = 1.0 / _F16_SCALE
+    return ((u >> 16).astype(jnp.float32) * inv,
+            (u & 0xFFFF).astype(jnp.float32) * inv)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SortedPairs:
+    """Depth/tile-sorted pair records as flat field arrays (a JAX pytree).
+
+    All record arrays have length S = lanes*N + aux_capacity + pad; slots\n    outside the per-tile [start, start + count) windows are sentinels that
+    no compositor reads (their opacity is additionally zeroed).
+    """
+
+    xs: jnp.ndarray            # [S] mean2d.x
+    ys: jnp.ndarray            # [S] mean2d.y
+    cas: jnp.ndarray           # [S] conic a
+    cbs: jnp.ndarray           # [S] conic b
+    ccs: jnp.ndarray           # [S] conic c
+    crs: jnp.ndarray           # [S] color r
+    cgs: jnp.ndarray           # [S] color g
+    cbs2: jnp.ndarray          # [S] color b
+    opas: jnp.ndarray          # [S] opacity (0 on invalid slots)
+    rxs: jnp.ndarray           # [S] support half-extent x
+    rys: jnp.ndarray           # [S] support half-extent y
+    tile_starts: jnp.ndarray   # [num_tiles] int32
+    tile_counts: jnp.ndarray   # [num_tiles] int32
+    total_pairs: jnp.ndarray   # [] int32
+    overflow: jnp.ndarray      # [] int32 (aux pairs dropped)
+
+    @property
+    def capacity(self) -> int:
+        return self.xs.shape[0]
+
+
+def slot_layout_for(cfg: RenderConfig, n: int):
+    """Static slot layout (lanes L, aux_cap, pad): S = L*n + aux_cap + pad,
+    CHUNK-aligned.  aux_multiplier <= 0 disables the aux path entirely
+    (no ownership scatter/gather; splats beyond the lane rect are dropped
+    and counted in ``overflow``)."""
+    lanes = cfg.lanes
+    if cfg.aux_multiplier <= 0:
+        aux = 0
+    else:
+        aux = max(256, int(n * cfg.aux_multiplier))
+    pad = (-(lanes * n + aux)) % cfg.chunk_size
+    return lanes, aux, pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _expand_sort(cfg: RenderConfig, num_tiles: int, aux_cap: int,
+                 tile_lo, depth_q, tx0, ty0, wt, ht, counts,
+                 x, y, ca, cb, cc, cr, cg, cb2, opa, rx, ry):
+    out, _ = _expand_sort_fwd(cfg, num_tiles, aux_cap, tile_lo, depth_q,
+                              tx0, ty0, wt, ht, counts,
+                              x, y, ca, cb, cc, cr, cg, cb2, opa, rx, ry)
+    return out
+
+
+def _lane_masks(cfg, counts, wt, ht):
+    """Per-lane (dx, dy, valid) with the lane-coverable 'small' predicate."""
+    if cfg.lanes == 1:
+        small = counts == 1
+        return small, [(0, 0, small)]
+    if cfg.lanes == 2:
+        small = (counts >= 1) & (counts <= 2)
+        return small, [
+            (0, 0, small),
+            # second tile: right neighbor for 2x1 rects, below for 1x2
+            (None, None, small & (counts == 2)),
+        ]
+    small = (counts >= 1) & (wt <= 2) & (ht <= 2)
+    return small, [
+        (0, 0, small),
+        (1, 0, small & (wt > 1)),
+        (0, 1, small & (ht > 1)),
+        (1, 1, small & (wt > 1) & (ht > 1)),
+    ]
+
+
+def _expand_sort_fwd(cfg, num_tiles, aux_cap, tile_lo, depth_q,
+                     tx0, ty0, wt, ht, counts,
+                     x, y, ca, cb, cc, cr, cg, cb2, opa, rx, ry):
+    n = x.shape[0]
+    lanes = cfg.lanes
+    pad = (-(lanes * n + aux_cap)) % cfg.chunk_size
+    s_total = lanes * n + aux_cap + pad
+    tile_bits = max(1, (num_tiles - 1).bit_length())
+    fused = tile_bits + cfg.sort_bits <= 31
+    tiles_x = cfg.tiles_x
+
+    # Color/opacity stay exact f32 operands (they carry training gradients;
+    # f16 would flatten finite differences and quantize learning signal).
+    # The radius rides as u16 fixed point — it is a hard gradient-free
+    # cutoff and projection already quantized it to 1/16 px.
+    prr = _pack_u16_pair(rx, ry)
+
+    # --- lane keys (pure elementwise) ---------------------------------
+    tile0 = ty0 * tiles_x + tx0 - tile_lo
+    small, lane_defs = _lane_masks(cfg, counts, wt, ht)
+    lane_tiles, lane_valids = [], []
+    for (dx, dy, valid) in lane_defs:
+        if dx is None:  # 2-lane mode's mixed-direction second tile
+            tile_k = tile0 + jnp.where(wt > 1, 1, tiles_x)
+        else:
+            tile_k = tile0 + dy * tiles_x + dx
+        lane_tiles.append(tile_k)
+        lane_valids.append(valid)
+    big = (counts >= 1) & ~small
+
+    # --- aux ownership table for splats beyond the lane rect ----------
+    counts_aux = jnp.where(big, counts, 0)
+    offs = jnp.cumsum(counts_aux) - counts_aux
+    total_aux = offs[-1] + counts_aux[-1]
+    if aux_cap > 0:
+        iota_aux = jnp.arange(aux_cap, dtype=jnp.int32)
+        splat_of_b = _segment_owner(big, offs, aux_cap, n)
+        # one int32 row gather over the (small) aux range; f32 bitcast in
+        bc = functools.partial(jax.lax.bitcast_convert_type,
+                               new_dtype=jnp.int32)
+        aux_tbl = jnp.stack([
+            offs.astype(jnp.int32), wt, tx0, ty0, depth_q,
+            bc(x), bc(y), bc(ca), bc(cb), bc(cc),
+            bc(cr), bc(cg), bc(cb2), bc(opa), prr,
+        ], axis=1)                                     # [N, 15]
+        prow = aux_tbl[splat_of_b]                     # [aux_cap, 15]
+        rank = iota_aux - prow[:, 0]
+        bw = jnp.maximum(prow[:, 1], 1)
+        bdy, bdx = rank // bw, rank % bw
+        tile_a = (prow[:, 3] + bdy) * tiles_x + (prow[:, 2] + bdx) - tile_lo
+        valid_a = iota_aux < jnp.minimum(total_aux, aux_cap)
+        depth_a = prow[:, 4]
+        fc = functools.partial(jax.lax.bitcast_convert_type,
+                               new_dtype=jnp.float32)
+        aux_vals = [fc(prow[:, 5]), fc(prow[:, 6]), fc(prow[:, 7]),
+                    fc(prow[:, 8]), fc(prow[:, 9]), fc(prow[:, 10]),
+                    fc(prow[:, 11]), fc(prow[:, 12]), fc(prow[:, 13]),
+                    prow[:, 14]]
+        dropped = jnp.maximum(total_aux - aux_cap, 0)
+    else:
+        aux_vals = None
+        dropped = total_aux
+
+    fields = [x, y, ca, cb, cc, cr, cg, cb2, opa, prr]
+
+    def cat(i, field):
+        parts = [field] * lanes
+        if aux_cap > 0:
+            parts.append(aux_vals[i])
+        if pad:
+            parts.append(jnp.zeros((pad,), field.dtype))
+        return jnp.concatenate(parts)
+
+    slot = jnp.arange(s_total, dtype=jnp.int32)
+    ops = (slot,) + tuple(cat(i, f) for i, f in enumerate(fields))
+
+    def cat_keys(lane_keys, aux_key, pad_key):
+        parts = list(lane_keys)
+        if aux_cap > 0:
+            parts.append(aux_key)
+        if pad:
+            parts.append(jnp.full((pad,), pad_key, jnp.int32))
+        return jnp.concatenate(parts)
+
+    if fused:
+        lane_keys = [
+            jnp.where(v, (t << cfg.sort_bits) | depth_q, _SENTINEL)
+            for t, v in zip(lane_tiles, lane_valids)]
+        aux_key = None
+        if aux_cap > 0:
+            aux_key = jnp.where(valid_a,
+                                (tile_a << cfg.sort_bits) | depth_a,
+                                _SENTINEL)
+        keys = cat_keys(lane_keys, aux_key, _SENTINEL)
+        sorted_ops = jax.lax.sort((keys,) + ops, dimension=0, num_keys=1,
+                                  is_stable=True)
+        skey = sorted_ops[0]
+        sorted_tile = jnp.where(skey == _SENTINEL, jnp.int32(num_tiles),
+                                skey >> cfg.sort_bits)
+        vals = sorted_ops[1:]
+    else:
+        # two-operand key: (tile, depth) — supports sort_bits up to 24 at
+        # any resolution (splatSortDistanceMapPrecision parity,
+        # /root/reference/src/Viewer.js:208-210).
+        tkeys = cat_keys(
+            [jnp.where(v, t, num_tiles)
+             for t, v in zip(lane_tiles, lane_valids)],
+            jnp.where(valid_a, tile_a, num_tiles) if aux_cap > 0 else None,
+            num_tiles)
+        dkeys = cat_keys([depth_q] * lanes,
+                         depth_a if aux_cap > 0 else None, 0)
+        sorted_ops = jax.lax.sort((tkeys, dkeys) + ops, dimension=0,
+                                  num_keys=2, is_stable=True)
+        sorted_tile = sorted_ops[0]
+        vals = sorted_ops[2:]
+
+    sorted_slot = vals[0]
+    xs, ys, cas, cbs, ccs = vals[1], vals[2], vals[3], vals[4], vals[5]
+    crs, cgs, cbs2, opas = vals[6], vals[7], vals[8], vals[9]
+    rxs, rys = _unpack_u16_pair(vals[10])
+    pair_valid = sorted_tile < num_tiles
+    opas = jnp.where(pair_valid, opas, 0.0)
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tile_ids,
+                              side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tile_ids,
+                            side="right").astype(jnp.int32)
+
+    total = sum(jnp.sum(v.astype(jnp.int32)) for v in lane_valids)
+    total = total + total_aux
+    overflow = dropped
+
+    out = (xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, rxs, rys,
+           starts, ends - starts, total, overflow)
+    residuals = (sorted_slot, offs, counts_aux)
+    return out, residuals
+
+
+def _expand_sort_bwd(cfg, num_tiles, aux_cap, residuals, cots):
+    sorted_slot, offs, counts_aux = residuals
+    n = offs.shape[0]
+    lanes = cfg.lanes
+    (g_xs, g_ys, g_cas, g_cbs, g_ccs, g_crs, g_cgs, g_cbs2, g_opas,
+     _g_rxs, _g_rys, *_int_cots) = cots
+    # radius is a hard cutoff (stop-gradient contract, like the reference's
+    # quad clamp); its cotangents are dropped.
+
+    # One sort aligns every pair gradient to its source slot (the sorted
+    # slots are a permutation of 0..S-1); lane gradients become plain [N]
+    # slices and aux gradients a segment-reduce over elementwise bounds.
+    aligned = jax.lax.sort(
+        (sorted_slot, g_xs, g_ys, g_cas, g_cbs, g_ccs, g_crs, g_cgs,
+         g_cbs2, g_opas),
+        dimension=0, num_keys=1, is_stable=True)[1:]
+
+    def to_splat(g):
+        acc = g[:n]
+        for k in range(1, lanes):
+            acc = acc + g[k * n:(k + 1) * n]
+        return acc
+
+    d = [to_splat(g) for g in aligned]
+
+    if aux_cap > 0:
+        base = lanes * n
+        g_aux = jnp.stack([g[base:base + aux_cap] for g in aligned], axis=1)
+        prefix = jnp.concatenate(
+            [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(g_aux, axis=0)],
+            axis=0)
+        starts_i = jnp.minimum(offs, aux_cap)
+        ends_i = jnp.minimum(offs + counts_aux, aux_cap)
+        seg = prefix[ends_i] - prefix[starts_i]                # [N, 9]
+        d = [d[i] + seg[:, i] for i in range(9)]
+
+    # Nones: tile_lo, depth_q, tx0, ty0, wt, ht, counts (integer plumbing),
+    # then the 9 record-field cotangents, then rx, ry (hard cutoff).
+    return (None, None, None, None, None, None, None,
+            d[0], d[1], d[2], d[3], d[4], d[5], d[6], d[7], d[8],
+            None, None)
+
+
+_expand_sort.defvjp(_expand_sort_fwd, _expand_sort_bwd)
+
+
+def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
+                     tile_range: tuple | None = None,
+                     depth_bounds: tuple | None = None,
+                     aux_capacity: int | None = None) -> SortedPairs:
+    """Expand splats into depth-sorted per-tile pair RECORDS in one sort.
+
+    The fused replacement for ``bin_and_sort`` + the post-sort record
+    gather: record fields ride the sort as value operands (see the module
+    section comment).  Returns sorted flat field arrays of static length
+    S = 2N + aux_capacity plus per-tile ranges.
+
+    ``tile_range`` / ``depth_bounds`` follow :func:`bin_and_sort`'s
+    contract (the tile-sharded multi-chip path's slab windows).
+    """
+    if tile_range is None:
+        tile_lo, num_tiles = 0, cfg.num_tiles
+        ty_lo, ty_hi = 0, cfg.tiles_y
+    else:
+        tile_lo, num_tiles = tile_range
+        assert num_tiles % cfg.tiles_x == 0, (
+            "tile_range must cover whole tile rows")
+        if isinstance(tile_lo, int):
+            assert tile_lo % cfg.tiles_x == 0, (
+                "tile_range must start on a tile-row boundary")
+        ty_lo = tile_lo // cfg.tiles_x
+        ty_hi = ty_lo + num_tiles // cfg.tiles_x
+
+    n = proj.opacity.shape[0]
+    if aux_capacity is None:
+        _, aux_capacity, _ = slot_layout_for(cfg, n)
+    tx0, tx1, ty0, ty1, counts = tile_bounds(proj, cfg, ty_lo, ty_hi)
+    depth_q = quantize_depth(proj.depth, proj.mask, cfg.sort_bits,
+                             depth_bounds)
+    wt = tx1 - tx0 + 1
+    ht = ty1 - ty0 + 1
+
+    si = jax.lax.stop_gradient
+    out = _expand_sort(
+        cfg, num_tiles, aux_capacity,
+        jnp.asarray(tile_lo, jnp.int32), depth_q,
+        tx0, ty0, wt, ht, counts,
+        proj.mean2d[:, 0], proj.mean2d[:, 1],
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        proj.opacity, si(proj.radius[:, 0]), si(proj.radius[:, 1]))
+    (xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, rxs, rys,
+     starts, tcounts, total, overflow) = out
+    return SortedPairs(xs=xs, ys=ys, cas=cas, cbs=cbs, ccs=ccs,
+                       crs=crs, cgs=cgs, cbs2=cbs2, opas=opas,
+                       rxs=rxs, rys=rys,
+                       tile_starts=starts, tile_counts=tcounts,
+                       total_pairs=total, overflow=overflow)

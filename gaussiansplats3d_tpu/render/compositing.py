@@ -68,7 +68,8 @@ def composite_chunk(px, py, mean2d, conic, color, opacity, radius, min_alpha,
     excl = jnp.cumsum(log_omega, axis=0) - log_omega
     w = alpha * jnp.exp(excl) * trans[None, :]                       # [C, P]
     color_acc = color_acc + jnp.einsum(
-        "cp,ck->pk", w, color, preferred_element_type=jnp.float32)
+        "cp,ck->pk", w, color, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     trans = trans * jnp.exp(jnp.sum(log_omega, axis=0))
     return color_acc, trans
 

@@ -24,9 +24,11 @@ backward kernel replays exactly the same prefix in reverse, reconstructing
 chunk-entry transmittance by subtracting log-space sums (exact — no
 divide-by-(1-alpha) drift), and emits per-pair gradients.
 
-Record packing — a [capacity // C, 16, C] f32 array (tile ranges are
-chunk-aligned by `binning(align_chunks=128)`), so each chunk is ONE
-contiguous, fully tile-aligned 8 KiB DMA indexed by leading chunk id.
+Record packing — a [capacity // C, 16, C] f32 array (the capacity is a
+CHUNK multiple; tile ranges start anywhere and the kernel reads
+floor-aligned chunks, masking each tile's [start, start + count) window),
+so each chunk is ONE contiguous, fully tile-aligned 8 KiB DMA indexed by
+leading chunk id.
 Row layout (within a chunk, each row is [1, C] across splats):
 
     row  0-1   mean2d (x, y)
@@ -76,6 +78,19 @@ def pack_records(mean2d_s, conic_s, color_s, opacity_s, radius_s
         opacity_s,
         radius_s[:, 0], radius_s[:, 1],
     ], axis=0)                                       # [11, cap]
+    rec = jnp.concatenate(
+        [rec, jnp.zeros((RECORD_WIDTH - 11, cap), jnp.float32)], axis=0)
+    return rec.reshape(RECORD_WIDTH, cap // CHUNK, CHUNK).transpose(1, 0, 2)
+
+
+def pack_records_flat(xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, rxs, rys
+                      ) -> jnp.ndarray:
+    """Pack flat [cap] record field arrays (binning.SortedPairs layout)
+    into the [cap // C, 16, C] chunk layout the kernels consume."""
+    cap = xs.shape[0]
+    assert cap % CHUNK == 0, cap
+    rec = jnp.stack([xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, rxs, rys],
+                    axis=0)                          # [11, cap]
     rec = jnp.concatenate(
         [rec, jnp.zeros((RECORD_WIDTH - 11, cap), jnp.float32)], axis=0)
     return rec.reshape(RECORD_WIDTH, cap // CHUNK, CHUNK).transpose(1, 0, 2)
@@ -159,19 +174,22 @@ def _tri(strict_upper: bool):
 def _mm(a, b):
     """[M, K] @ [K, N] -> [M, N] on the MXU in f32."""
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _mm_nt(a, b):
     """[M, K] x [N, K] -> [M, N] (contract trailing dims; no relayout)."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 def _mm_tn(a, b):
     """[K, M] x [K, N] -> [M, N] (contract leading dims; no relayout)."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -260,7 +278,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(t,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -423,16 +441,16 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         num_scalar_prefetch=4,
         grid=(t,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # records
+            pl.BlockSpec(memory_space=pl.ANY),                 # records
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # logt_fin
             pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # gcol
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # glogt
-            pl.BlockSpec(memory_space=pltpu.ANY),                 # grad in
+            pl.BlockSpec(memory_space=pl.ANY),                 # grad in
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
             pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),

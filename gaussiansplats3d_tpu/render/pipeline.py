@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import Camera, RenderConfig, SplatData
-from .binning import BinnedPairs, bin_and_sort
+from .binning import BinnedPairs, SortedPairs, bin_and_sort, bin_sort_records
 from .projection import ProjectedSplats, project_splats
 from .rasterize import rasterize_pairs
 
@@ -36,6 +36,33 @@ def resolve_backend(cfg: RenderConfig) -> str:
         return cfg.backend
     platform = jax.devices()[0].platform
     return "pallas" if platform in ("tpu", "axon") else "jax"
+
+
+def composite_sorted(cfg: RenderConfig, pairs: SortedPairs,
+                     tile_base: int | jnp.ndarray, num_tiles: int):
+    """Backend dispatch for the tile compositor over a SortedPairs record
+    set (the fused expand+sort path).
+
+    Returns (tile_colors [T, P, 3], tile_logtrans [T, P]).
+    """
+    s_cap = pairs.capacity
+    if resolve_backend(cfg) == "pallas":
+        from .pallas_rasterize import composite_tiles, pack_records_flat
+        records3 = pack_records_flat(
+            pairs.xs, pairs.ys, pairs.cas, pairs.cbs, pairs.ccs,
+            pairs.crs, pairs.cgs, pairs.cbs2, pairs.opas,
+            pairs.rxs, pairs.rys)
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32) + tile_base
+        return composite_tiles(cfg, s_cap, records3,
+                               pairs.tile_starts, pairs.tile_counts, tile_ids)
+    return rasterize_pairs(
+        cfg, s_cap,
+        jnp.stack([pairs.xs, pairs.ys], axis=1),
+        jnp.stack([pairs.cas, pairs.cbs, pairs.ccs], axis=1),
+        jnp.stack([pairs.crs, pairs.cgs, pairs.cbs2], axis=1),
+        pairs.opas,
+        jnp.stack([pairs.rxs, pairs.rys], axis=1),
+        pairs.tile_starts, pairs.tile_counts, tile_base)
 
 
 def composite_pairs(cfg: RenderConfig, capacity: int, rec,
@@ -161,6 +188,7 @@ def render(splats: SplatData, camera: Camera, cfg: RenderConfig,
            scene_indices: Optional[jnp.ndarray] = None,
            scene_opacities: Optional[jnp.ndarray] = None,
            scene_visibility: Optional[jnp.ndarray] = None,
+           fade_params: Optional[tuple] = None,
            return_aux: bool = False):
     """Render one view through the tiled fast path.
 
@@ -181,15 +209,11 @@ def render(splats: SplatData, camera: Camera, cfg: RenderConfig,
         return out
 
     proj = project_splats(splats, camera, cfg, transforms, scene_indices,
-                          scene_opacities, scene_visibility)
-    capacity = cfg.pair_capacity(splats.num_splats)
-    pairs = bin_and_sort(proj, cfg, capacity)
-    eff_capacity = capacity
-    rec = gather_records(pack_splat_table(proj), pairs.sorted_splat_idx,
-                         pairs.pair_valid)
-    tile_colors, tile_logtrans = composite_pairs(
-        cfg, eff_capacity, rec,
-        pairs.tile_starts, pairs.tile_counts, 0, cfg.num_tiles)
+                          scene_opacities, scene_visibility,
+                          fade_params=fade_params)
+    pairs = bin_sort_records(proj, cfg)
+    tile_colors, tile_logtrans = composite_sorted(cfg, pairs, 0,
+                                                  cfg.num_tiles)
     out = assemble_image(tile_colors, tile_logtrans, cfg)
     if return_aux:
         out["num_pairs"] = pairs.total_pairs

@@ -120,6 +120,14 @@ def _eval_covariance2d(cov2d: jnp.ndarray, cfg: RenderConfig):
     max_ext = cfg.max_screen_space_splat_size * s
     rx = jnp.minimum(SQRT8 * jnp.sqrt(jnp.maximum(a_eval, 0.0)) * s, max_ext)
     ry = jnp.minimum(SQRT8 * jnp.sqrt(jnp.maximum(c_eval, 0.0)) * s, max_ext)
+    # Quantize the support box to 1/16 px, rounding UP (a larger box only
+    # admits pixels the G > 8 cutoff rejects anyway, so this is lossless
+    # except for a <=1/16 px sliver on max-size-clamped splats).  The
+    # quantized value is exact in u16 fixed point, which is how the sort
+    # pipeline packs it (binning.py), and both binning and the compositors
+    # consume this same value so the support-box contract stays exact.
+    rx = jnp.minimum(jnp.ceil(rx * 16.0) * (1.0 / 16.0), 4095.9375)
+    ry = jnp.minimum(jnp.ceil(ry * 16.0) * (1.0 / 16.0), 4095.9375)
     radius = jnp.stack([rx, ry], axis=-1)
     return cov_eval, compensation, radius, valid
 
@@ -137,6 +145,7 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
                    scene_indices: jnp.ndarray | None = None,
                    scene_opacities: jnp.ndarray | None = None,
                    scene_visibility: jnp.ndarray | None = None,
+                   fade_params: tuple | None = None,
                    ) -> ProjectedSplats:
     """Project all splats for one camera.
 
@@ -148,6 +157,11 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
       scene_opacities / scene_visibility: optional ``[S]`` per-scene opacity
         multiplier and visibility mask (enableOptionalEffects parity,
         SplatMaterial.js:129-138).
+      fade_params: optional ``(scene_center [3], fade_start_radius [])``
+        scene-reveal fade-in: opacity ramps to 0 over 0.75 world units past
+        the fade radius, exactly the reference's fade shader
+        (SplatMaterial.js:347-363); the radius animates host-side
+        (viewer.fade.VisibleRegion).
     """
     n = splats.num_splats
     w, h = cfg.width, cfg.height
@@ -189,11 +203,30 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
         scene_ids = None
         m3 = camera.view[:3, :3]
         m3e = [[m3[i, j] for j in range(3)] for i in range(3)]
-        view_center = means @ m3.T + camera.view[:3, 3]
+        # Elementwise [N] transform — NOT a [N,3]@[3,3] matmul: XLA lowers
+        # f32 MXU dots to bf16 passes by default on TPU, which costs ~0.5 px
+        # of mean2d accuracy and makes two compilations of this function
+        # disagree with each other (fusion-dependent rounding).
+        mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+        view_center = jnp.stack([
+            m3e[0][0] * mx + m3e[0][1] * my + m3e[0][2] * mz
+            + camera.view[0, 3],
+            m3e[1][0] * mx + m3e[1][1] * my + m3e[1][2] * mz
+            + camera.view[1, 3],
+            m3e[2][0] * mx + m3e[2][1] * my + m3e[2][2] * mz
+            + camera.view[2, 3],
+        ], axis=1)
         dirs = math3d.normalize(means - camera.cam_pos)
 
-    clip = view_center @ camera.proj[:3, :3].T + camera.proj[:3, 3]
-    clip_w = view_center @ camera.proj[3, :3] + camera.proj[3, 3]
+    # Same elementwise rule for the projection transform (see note above).
+    vx, vy, vz = view_center[:, 0], view_center[:, 1], view_center[:, 2]
+    pr = camera.proj
+    clip = jnp.stack([
+        pr[0, 0] * vx + pr[0, 1] * vy + pr[0, 2] * vz + pr[0, 3],
+        pr[1, 0] * vx + pr[1, 1] * vy + pr[1, 2] * vz + pr[1, 3],
+        pr[2, 0] * vx + pr[2, 1] * vy + pr[2, 2] * vz + pr[2, 3],
+    ], axis=1)
+    clip_w = pr[3, 0] * vx + pr[3, 1] * vy + pr[3, 2] * vz + pr[3, 3]
     lim = CLIP_FACTOR * clip_w
     visible = ((clip[:, 2] >= -lim) & (clip[:, 0] >= -lim) & (clip[:, 0] <= lim)
                & (clip[:, 1] >= -lim) & (clip[:, 1] <= lim))
@@ -232,6 +265,15 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
 
     color = eval_sh_color(splats.colors[:, :3], splats.sh, dirs, cfg.sh_degree)
     opacity = splats.colors[:, 3] * compensation
+    if fade_params is not None:
+        # distanceLoadFadeInFactor (SplatMaterial.js:352-358): full opacity
+        # inside the fade radius, linear ramp to 0 over FADE_DISTANCE past it.
+        fade_center, fade_radius = fade_params
+        center_dist = jnp.linalg.norm(
+            splats.means - jnp.asarray(fade_center, jnp.float32)[None, :],
+            axis=-1)
+        ramp = 1.0 - jnp.clip((center_dist - fade_radius) / 0.75, 0.0, 1.0)
+        opacity = opacity * jnp.where(center_dist < fade_radius, 1.0, ramp)
     if scene_ids is not None and scene_opacities is not None:
         sc_op = scene_opacities[scene_ids]
         if scene_visibility is not None:

@@ -150,7 +150,8 @@ def _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s, opacity_s,
             excl = jnp.cumsum(logw, axis=1) - logw
             w = alpha * jnp.exp(excl + logt[:, None, :])
             col = col + jnp.einsum("gcp,gck->gpk", w, cl,
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
             logt = jnp.maximum(logt + jnp.sum(logw, axis=1), _LOG_T_FLOOR)
             return k + 1, col, logt
 
@@ -231,11 +232,13 @@ def _rasterize_bwd(cfg, capacity, residuals, cotangents):
 
             # dL/dcolor_i = sum_p w_ip * g_col[p]
             d_cl = jnp.einsum("gcp,gpk->gck", w, gcol_tile,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
             # u_j = alpha_j T_j (c_j . g_col)  — suffix-summed for S . g_col
             cg = jnp.einsum("gck,gpk->gcp", cl, gcol_tile,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
             u = w * cg
             # exclusive suffix sum over the chunk + carry from later chunks
             suffix = (jnp.cumsum(u[:, ::-1, :], axis=1)[:, ::-1, :] - u)

@@ -20,6 +20,8 @@ class SplatScene:
     render (the reference's dynamicScene mode; SplatMaterial.js:140-147).
     """
 
+    _version_counter = 0
+
     def __init__(self, splats: SplatData,
                  position: Optional[Sequence[float]] = None,
                  rotation: Optional[Sequence[float]] = None,
@@ -37,6 +39,22 @@ class SplatScene:
         self.opacity = float(opacity)
         self.visible = bool(visible)
         self.name = name
+
+    @property
+    def splats(self) -> SplatData:
+        return self._splats
+
+    @splats.setter
+    def splats(self, value: SplatData):
+        # Monotonic content version: render caches key on this rather than
+        # id(splats) (ids get recycled, and progressive loads re-assign).
+        SplatScene._version_counter += 1
+        self._splats_version = SplatScene._version_counter
+        self._splats = value
+
+    @property
+    def splats_version(self) -> int:
+        return self._splats_version
 
     # --- transform accessors (three.js Object3D-ish surface) ---
     @property

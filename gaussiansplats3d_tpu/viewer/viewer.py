@@ -25,7 +25,8 @@ import numpy as np
 from ..constants import MAX_SCENES
 from ..core.types import Camera, RenderConfig, SplatData
 from ..render.pipeline import render as render_pipeline
-from .enums import RenderMode, SplatRenderMode
+from .enums import RenderMode, SceneRevealMode, SplatRenderMode
+from .fade import VisibleRegion
 from .orbit import OrbitCamera
 from .raycaster import Hit, Ray, Raycaster
 from .scene import SplatScene
@@ -53,7 +54,9 @@ class Viewer:
                  background: Sequence[float] = (0.0, 0.0, 0.0),
                  backend: str = "auto",
                  use_orthographic_camera: bool = False,
-                 ortho_half_height: float = 2.0):
+                 ortho_half_height: float = 2.0,
+                 scene_reveal_mode: SceneRevealMode = SceneRevealMode.Default,
+                 scene_fade_in_rate_multiplier: float = 1.0):
         self.config = RenderConfig(
             width=width, height=height,
             sh_degree=max_spherical_harmonics_degree,
@@ -75,6 +78,8 @@ class Viewer:
         self.use_orthographic_camera = use_orthographic_camera
         self.ortho_half_height = ortho_half_height
         self.raycaster = Raycaster()
+        self.scene_reveal_mode = scene_reveal_mode
+        self.visible_region = VisibleRegion(scene_fade_in_rate_multiplier)
         self._scenes: List[SplatScene] = []
         self._concat_cache = None
         self._last_frame = None
@@ -126,6 +131,8 @@ class Viewer:
             scene = SplatScene(splats, position=position, rotation=rotation,
                                scale=scale, opacity=opacity, visible=visible)
         self._scenes.append(scene)
+        self.visible_region.update_region(np.asarray(scene.splats.means),
+                                          final_build=True)
         self._concat_cache = None
         self._dirty = True
         return scene
@@ -133,6 +140,62 @@ class Viewer:
     def add_splat_scenes(self, sources: Sequence[SceneSource],
                          **common_kwargs) -> List[SplatScene]:
         return [self.add_splat_scene(s, **common_kwargs) for s in sources]
+
+    def add_splat_scene_progressive(self, path: str,
+                                    on_update=None,
+                                    sh_degree: Optional[int] = None,
+                                    abort_event=None,
+                                    **scene_kwargs) -> SplatScene:
+        """Stream a scene file, growing the scene as sections arrive.
+
+        The progressive-load parity surface (KSplatLoader.js:119-180,
+        PlyLoader.js:89-291): for valid-prefix formats (.ksplat/.splat) the
+        scene's splats are re-assigned with each decoded prefix — every
+        reassignment bumps the scene version, so the next ``render()``
+        shows the partial scene with the reveal fade tracking the growing
+        visible region.  ``on_update(scene, fraction)`` fires per snapshot.
+        Buffered formats (.ply/.spz) decode once at the end.
+        """
+        self._check_disposed()
+        from ..io.fetch import fetch_with_progress
+        from ..io.progressive import ProgressiveLoader
+
+        loader = ProgressiveLoader.for_path(path)
+        scene_holder = [None]
+
+        def on_chunk(pct, _label, chunk, _total):
+            loader.feed(chunk)
+            snap = loader.snapshot()
+            if snap is None or snap.num_splats == 0:
+                return
+            if sh_degree is not None and snap.sh_degree > sh_degree:
+                snap = snap.with_sh_degree(sh_degree)
+            if scene_holder[0] is None:
+                scene_holder[0] = SplatScene(snap, **scene_kwargs)
+                self._scenes.append(scene_holder[0])
+            else:
+                scene_holder[0].splats = snap
+            self.visible_region.update_region(
+                np.asarray(snap.means), final_build=False)
+            self._concat_cache = None
+            self._dirty = True
+            if on_update is not None:
+                on_update(scene_holder[0], (pct or 0.0) / 100.0)
+
+        fetch_with_progress(path, on_chunk, abort_event)
+        final = loader.finalize()
+        if sh_degree is not None and final.sh_degree > sh_degree:
+            final = final.with_sh_degree(sh_degree)
+        if scene_holder[0] is None:
+            scene_holder[0] = SplatScene(final, **scene_kwargs)
+            self._scenes.append(scene_holder[0])
+        else:
+            scene_holder[0].splats = final
+        self.visible_region.update_region(np.asarray(final.means),
+                                          final_build=True)
+        self._concat_cache = None
+        self._dirty = True
+        return scene_holder[0]
 
     def remove_splat_scene(self, index: int) -> None:
         self._check_disposed()
@@ -161,7 +224,8 @@ class Viewer:
     # rendering
     # ------------------------------------------------------------------
     def _concat(self):
-        if self._concat_cache is None:
+        versions = tuple(s.splats_version for s in self._scenes)
+        if self._concat_cache is None or self._concat_cache[0] != versions:
             if not self._scenes:
                 raise ValueError("no scenes added")
             splats = SplatData.concatenate(
@@ -169,8 +233,8 @@ class Viewer:
             sizes = [s.num_splats for s in self._scenes]
             scene_indices = jnp.asarray(
                 np.repeat(np.arange(len(sizes)), sizes), jnp.int32)
-            self._concat_cache = (splats, scene_indices)
-        return self._concat_cache
+            self._concat_cache = (versions, splats, scene_indices)
+        return self._concat_cache[1], self._concat_cache[2]
 
     def _current_camera(self, camera: Optional[Camera]) -> Camera:
         if camera is not None:
@@ -197,8 +261,13 @@ class Viewer:
         """
         self._check_disposed()
         cam = self._current_camera(camera)
+        # scene-reveal fade: advance one frame per render call; a changing
+        # fade radius keeps the frame key "dirty" (visibleRegionChanging
+        # forces shouldRender in the reference, Viewer.js:1561-1597)
+        fade = self.visible_region.tick(self.scene_reveal_mode)
         key = (np.asarray(cam.view).tobytes(),
-               tuple((id(s.splats), tuple(np.asarray(s.position)),
+               None if fade is None else (tuple(fade[0]), fade[1]),
+               tuple((s.splats_version, tuple(np.asarray(s.position)),
                       tuple(np.asarray(s.quaternion)),
                       tuple(np.asarray(s.scale)), s.opacity, s.visible)
                      for s in self._scenes))
@@ -215,11 +284,16 @@ class Viewer:
                                 jnp.float32)
         visibility = jnp.asarray([s.visible for s in self._scenes],
                                  jnp.bool_)
+        fade_params = None
+        if fade is not None:
+            fade_params = (jnp.asarray(fade[0], jnp.float32),
+                           jnp.asarray(fade[1], jnp.float32))
         out = render_pipeline(splats, cam, self.config,
                               transforms=transforms,
                               scene_indices=scene_indices,
                               scene_opacities=opacities,
                               scene_visibility=visibility,
+                              fade_params=fade_params,
                               return_aux=return_aux)
         self._last_frame = (key, out)
         self._dirty = False

@@ -81,12 +81,47 @@ def test_render_facing_away_is_background():
 
 
 def test_overflow_reported_not_crashing():
+    # Beyond-lane splats overflow an undersized aux budget; the render
+    # must report the dropped pairs and stay finite.  lanes=1 routes every
+    # multi-tile splat through aux (at 64x64 there are only 2x2 tiles, so
+    # no rect can exceed the default 4-lane coverage).
     splats = make_scene(500)
-    cfg = gs.RenderConfig(width=64, height=64, max_pairs=256)
+    import dataclasses
+    splats = dataclasses.replace(splats, scales=splats.scales * 12.0)
+    cfg = gs.RenderConfig(width=64, height=64, lanes=1, aux_multiplier=1e-9)
     cam = make_camera()
     out = gs.render(splats, cam, cfg, return_aux=True)
     assert int(out["overflow"]) > 0
     assert jnp.all(jnp.isfinite(out["color"]))
+
+
+def test_aux_disabled_drops_and_counts():
+    # aux_multiplier=0 statically removes the aux path; beyond-lane pairs
+    # are dropped and counted, small-splat scenes render exactly.
+    splats = make_scene(400)
+    cfg0 = gs.RenderConfig(width=64, height=64, sort_bits=20)
+    cfg1 = cfg0.replace(aux_multiplier=0.0)
+    cam = make_camera()
+    a = gs.render(splats, cam, cfg0, return_aux=True)
+    b = gs.render(splats, cam, cfg1, return_aux=True)
+    if int(a["overflow"]) == 0 and int(b["overflow"]) == 0:
+        assert jnp.max(jnp.abs(a["color"] - b["color"])) < 1e-5
+
+
+def test_sort_bits_24_two_operand_keys():
+    # At 512x512 / 16-px tiles there are 1024 tiles (10 tile bits), so a
+    # fused 31-bit key cannot carry 24 depth bits; the sort must fall back
+    # to two-operand (tile, depth) keys and still match the oracle
+    # (splatSortDistanceMapPrecision=24 parity, Viewer.js:208-210).
+    splats = make_scene(300)
+    cfg = gs.RenderConfig(width=512, height=512, sort_bits=24)
+    from gaussiansplats3d_tpu.render.binning import _SENTINEL  # noqa: F401
+    tile_bits = max(1, (cfg.num_tiles - 1).bit_length())
+    assert tile_bits + cfg.sort_bits > 31     # really the two-key path
+    cam = make_camera()
+    ref = gs.reference_render(splats, cam, cfg)
+    out = gs.render(splats, cam, cfg)
+    assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 2e-3
 
 
 def test_point_cloud_mode_tiled():

@@ -9,6 +9,7 @@ import gaussiansplats3d_tpu as gs
 from gaussiansplats3d_tpu.viewer import (
     OrbitCamera,
     RenderMode,
+    SceneRevealMode,
     SplatRenderMode,
     Viewer,
 )
@@ -22,6 +23,9 @@ def make_viewer(**kw):
     kw.setdefault("width", 64)
     kw.setdefault("height", 64)
     kw.setdefault("initial_camera_position", (2.2, 1.4, 2.4))
+    # parity tests compare against direct renders: disable the reveal fade
+    # (tests for the fade itself pass scene_reveal_mode explicitly)
+    kw.setdefault("scene_reveal_mode", SceneRevealMode.Instant)
     return Viewer(**kw)
 
 
