@@ -11,6 +11,7 @@ from . import io  # noqa: F401
 from . import utils  # noqa: F401
 from . import viewer  # noqa: F401
 from .constants import MAX_SCENES  # noqa: F401
+from .core.bake import bake_transform  # noqa: F401
 from .core.types import Camera, RenderConfig, SplatData, random_splats  # noqa: F401
 from .io import load, save  # noqa: F401
 from .render.oracle import reference_render  # noqa: F401

@@ -7,22 +7,36 @@ Decomposition (SURVEY.md §5.7/§5.8, BASELINE.md config 4):
   bounds for the sort keys are a pmin/pmax over this axis — the multi-chip
   analogue of the WASM sorter's global min/max pass
   (/root/reference/src/worker/sorter.cpp:33-139).
-- **exchange**: compact projected records (13 floats/splat) are
-  all_gather'ed over the splat axis (rides ICI).  Its autodiff transpose is
-  a psum_scatter, which distributes the parameter-gradient all-reduce
+- **exchange (splat -> tile-slab routing)**: each device keeps only the
+  projected records whose screen AABB touches ITS tile slab (each device
+  owns a fixed band of whole tile rows, so the filter is a per-splat
+  elementwise test on the y-extent), compacts the survivors into a fixed
+  per-edge capacity, and `all_gather`s the *compacted* buffers over the
+  splat axis (rides ICI).  Per-device exchange volume and memory are
+  O(splat_shards * capacity) = O(alpha * N / tile_shards) — sublinear in N
+  for a growing mesh — instead of the O(N) full-world gather.  Records
+  beyond capacity are dropped and counted in ``overflow`` (the same
+  fixed-capacity + overflow contract as the single-chip pair list).
+  The compaction is a stable sort whose operands carry the record fields,
+  so its autodiff transpose is exact; the all_gather transposes to a
+  psum_scatter, which distributes the parameter-gradient all-reduce
   across the backward sweep.
-- **tile axis**: each device owns a slab of whole tile rows; it bins, sorts
-  and composites only pairs that touch its slab.  The per-device sort is
-  over ~pairs/tile_shards keys, so sort work scales out too.
+- **tile axis**: each device bins, sorts and composites only the gathered
+  slab-local records through the fused expand+sort path
+  (`binning.bin_sort_records`), so the per-device sort is over
+  ~pairs/tile_shards keys and sort work scales out too.
 
 The output is the global tile-block array, tile-sharded over the mesh; the
 final image assembly (crop + y-flip) happens in the surrounding jit where
 XLA inserts the (tiny) boundary exchanges.
+
+Multi-scene dynamic mode (per-scene transforms / opacities / visibility —
+the reference's dynamicScene path, SplatMaterial.js:140-147) shards
+``scene_indices`` with the splats and replicates the tiny per-scene arrays.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -30,10 +44,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.types import Camera, RenderConfig, SplatData
-from ..render.binning import bin_and_sort
-from ..render.pipeline import (
-    assemble_image, composite_pairs, gather_records, pack_splat_table)
-from ..render.projection import project_splats
+from ..render.binning import bin_sort_records
+from ..render.pipeline import assemble_image, composite_sorted
+from ..render.projection import ProjectedSplats, project_splats
 from .mesh import SPLAT_AXIS, TILE_AXIS
 
 try:  # jax >= 0.4.35 exposes shard_map at top level
@@ -51,24 +64,81 @@ def _tile_rows_per_shard(cfg: RenderConfig, tile_shards: int) -> int:
     return cfg.tiles_y // tile_shards
 
 
+def default_exchange_capacity(cfg: RenderConfig, n_local: int,
+                              tile_shards: int, alpha: float = 3.0) -> int:
+    """Per-(splat-shard, slab) record capacity for the routed exchange.
+
+    A splat shard holds ~n_local/tile_shards of the records touching any
+    one slab in a balanced scene; ``alpha`` is the imbalance margin
+    (slab-straddling splats are counted once per touched slab).
+    """
+    cap = max(256, int(alpha * n_local / max(tile_shards, 1)))
+    return -(-cap // 128) * 128
+
+
+def _compact_to_capacity(fields, keep: jnp.ndarray, cap: int):
+    """Stable-compact rows where ``keep`` holds into the first ``cap`` slots.
+
+    ``fields`` is a flat list of [n] f32 arrays riding a single stable sort
+    (kept rows first, original order preserved).  Returns (compacted fields
+    [cap] each, valid [cap] bool, n_dropped scalar).
+    """
+    n = keep.shape[0]
+    key = jnp.where(keep, 0, 1).astype(jnp.int32)
+    sorted_ops = jax.lax.sort((key,) + tuple(fields), dimension=0,
+                              num_keys=1, is_stable=True)
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    if cap > n:
+        out = [jnp.pad(op, (0, cap - n)) for op in sorted_ops[1:]]
+    else:
+        out = [op[:cap] for op in sorted_ops[1:]]
+    valid = jnp.arange(cap, dtype=jnp.int32) < n_keep
+    dropped = jnp.maximum(n_keep - cap, 0)
+    return out, valid, dropped
+
+
 def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
-                         cfg: RenderConfig, capacity: int):
+                         cfg: RenderConfig,
+                         capacity: Optional[int] = None,
+                         transforms: Optional[jnp.ndarray] = None,
+                         scene_indices: Optional[jnp.ndarray] = None,
+                         scene_opacities: Optional[jnp.ndarray] = None,
+                         scene_visibility: Optional[jnp.ndarray] = None,
+                         exchange_capacity: Optional[int] = None,
+                         return_overflow: bool = False):
     """Render to tile blocks over the mesh.
 
     Args:
       splats: global splat pytree; leading axis must divide by the splat-axis
-        size (pad with opacity-0 splats).
-      capacity: per-device pair-list capacity.
+        size (pad with opacity-0 splats, :func:`pad_splats_for_mesh`).
+      capacity: kept for API compatibility; the fused expand+sort path
+        derives its slot layout from the gathered record count, so this is
+        ignored (pass ``exchange_capacity`` to size the routed exchange).
+      transforms / scene_indices / scene_opacities / scene_visibility:
+        multi-scene dynamic mode; ``scene_indices`` is per-splat (sharded
+        with the splats), the rest are tiny per-scene arrays (replicated).
 
     Returns (tile_colors [T, P, 3], tile_logtrans [T, P]) — global logical
-    arrays sharded over the tile axis.
+    arrays sharded over the tile axis — plus a replicated overflow scalar
+    (exchange drops + pair-list drops) when ``return_overflow``.
     """
+    del capacity  # superseded by the fused expand+sort slot layout
     tile_shards = mesh.shape[TILE_AXIS]
+    splat_shards = mesh.shape[SPLAT_AXIS]
     rows = _tile_rows_per_shard(cfg, tile_shards)
     local_tiles = rows * cfg.tiles_x
+    n_local = -(-splats.num_splats // splat_shards)
+    if exchange_capacity is None:
+        exchange_capacity = default_exchange_capacity(
+            cfg, n_local, tile_shards)
+    ecap = exchange_capacity
+    ts = float(cfg.tile_size)
+    has_scenes = transforms is not None
 
-    def body(splats_l, camera_r):
-        proj = project_splats(splats_l, camera_r, cfg)
+    def body(splats_l, camera_r, scene_idx_l, scene_args):
+        tfs, sc_op, sc_vis = scene_args
+        proj = project_splats(splats_l, camera_r, cfg,
+                              tfs, scene_idx_l, sc_op, sc_vis)
 
         # Depth bounds feed integer sort keys only — non-differentiable
         # plumbing (pmin/pmax have no AD rule, and shouldn't need one here).
@@ -79,47 +149,87 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
         dmax = jax.lax.pmax(
             jnp.max(jnp.where(proj.mask, depth_ng, -big)), SPLAT_AXIS)
 
-        proj_all = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, SPLAT_AXIS, axis=0, tiled=True),
-            proj)
-
+        # --- splat -> tile-slab routing -------------------------------
         t_idx = jax.lax.axis_index(TILE_AXIS)
+        ty_lo = t_idx * rows
+        ty_hi = ty_lo + rows
+        y, ry = proj.mean2d[:, 1], proj.radius[:, 1]
+        ty0 = jnp.floor((y - ry) / ts).astype(jnp.int32)
+        ty1 = jnp.floor((y + ry) / ts).astype(jnp.int32)
+        touch = proj.mask & (ty1 >= ty_lo) & (ty0 < ty_hi)
+
+        fields = [proj.mean2d[:, 0], proj.mean2d[:, 1],
+                  proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+                  proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+                  proj.opacity,
+                  jax.lax.stop_gradient(proj.radius[:, 0]),
+                  jax.lax.stop_gradient(proj.radius[:, 1]),
+                  jax.lax.stop_gradient(proj.depth)]
+        comp, valid_c, dropped = _compact_to_capacity(fields, touch, ecap)
+
+        gathered = [
+            jax.lax.all_gather(f, SPLAT_AXIS, axis=0, tiled=True)
+            for f in comp + [valid_c.astype(jnp.float32)]]
+        (gx, gy, gca, gcb, gcc, gcr, gcg, gcb2, gop, grx, gry, gdepth,
+         gvalid_f) = gathered
+        gmask = gvalid_f > 0.5
+        proj_g = ProjectedSplats(
+            mean2d=jnp.stack([gx, gy], axis=1),
+            conic=jnp.stack([gca, gcb, gcc], axis=1),
+            color=jnp.stack([gcr, gcg, gcb2], axis=1),
+            opacity=jnp.where(gmask, gop, 0.0),
+            depth=jnp.where(gmask, gdepth, big),
+            radius=jnp.stack([grx, gry], axis=1),
+            mask=gmask)
+
+        # --- slab-local fused expand + sort + composite ---------------
         tile_lo = t_idx * local_tiles
-        pairs = bin_and_sort(proj_all, cfg, capacity,
-                             tile_range=(tile_lo, local_tiles),
-                             depth_bounds=(dmin, dmax))
-        eff_capacity = capacity
-        rec = gather_records(pack_splat_table(proj_all),
-                             pairs.sorted_splat_idx, pairs.pair_valid)
-        tile_colors, tile_logtrans = composite_pairs(
-            cfg, eff_capacity, rec,
-            pairs.tile_starts, pairs.tile_counts, tile_lo, local_tiles)
-        return tile_colors, tile_logtrans
+        pairs = bin_sort_records(proj_g, cfg,
+                                 tile_range=(tile_lo, local_tiles),
+                                 depth_bounds=(dmin, dmax))
+        tile_colors, tile_logtrans = composite_sorted(
+            cfg, pairs, tile_lo, local_tiles)
+        overflow = jax.lax.psum(
+            jax.lax.psum(dropped + pairs.overflow, SPLAT_AXIS), TILE_AXIS)
+        return tile_colors, tile_logtrans, overflow
 
     splat_spec = jax.tree.map(lambda _: P(SPLAT_AXIS), splats)
     cam_spec = jax.tree.map(lambda _: P(), camera)
-    out_spec = (P(TILE_AXIS), P(TILE_AXIS))
+    if scene_indices is None:
+        scene_indices = jnp.zeros((splats.num_splats,), jnp.int32)
+    scene_args = (transforms if has_scenes else None,
+                  scene_opacities, scene_visibility)
+    scene_args_spec = jax.tree.map(lambda _: P(), scene_args)
+    out_spec = (P(TILE_AXIS), P(TILE_AXIS), P())
     fn = shard_map(body, mesh=mesh,
-                   in_specs=(splat_spec, cam_spec),
+                   in_specs=(splat_spec, cam_spec, P(SPLAT_AXIS),
+                             scene_args_spec),
                    out_specs=out_spec, check_vma=False)
-    return fn(splats, camera)
+    tile_colors, tile_logtrans, overflow = fn(splats, camera, scene_indices,
+                                              scene_args)
+    if return_overflow:
+        return tile_colors, tile_logtrans, overflow
+    return tile_colors, tile_logtrans
 
 
 def sharded_render(mesh: Mesh, splats: SplatData, camera: Camera,
                    cfg: RenderConfig,
-                   capacity: Optional[int] = None):
-    """Full sharded render returning the assembled image dict.
-
-    Per-device pair capacity defaults to the single-chip capacity divided by
-    the tile-shard count (each slab sees roughly 1/tile_shards of the pairs).
-    """
-    if capacity is None:
-        tile_shards = mesh.shape[TILE_AXIS]
-        capacity = -(-cfg.pair_capacity(splats.num_splats) // tile_shards)
-        capacity = -(-capacity // cfg.chunk_size) * cfg.chunk_size
-    tile_colors, tile_logtrans = sharded_render_tiles(
-        mesh, splats, camera, cfg, capacity)
-    return assemble_image(tile_colors, tile_logtrans, cfg)
+                   capacity: Optional[int] = None,
+                   transforms: Optional[jnp.ndarray] = None,
+                   scene_indices: Optional[jnp.ndarray] = None,
+                   scene_opacities: Optional[jnp.ndarray] = None,
+                   scene_visibility: Optional[jnp.ndarray] = None,
+                   exchange_capacity: Optional[int] = None):
+    """Full sharded render returning the assembled image dict (with the
+    exchange + pair-list ``overflow`` counter)."""
+    tile_colors, tile_logtrans, overflow = sharded_render_tiles(
+        mesh, splats, camera, cfg, capacity,
+        transforms=transforms, scene_indices=scene_indices,
+        scene_opacities=scene_opacities, scene_visibility=scene_visibility,
+        exchange_capacity=exchange_capacity, return_overflow=True)
+    out = assemble_image(tile_colors, tile_logtrans, cfg)
+    out["overflow"] = overflow
+    return out
 
 
 def pad_splats_for_mesh(splats: SplatData, mesh: Mesh) -> SplatData:

@@ -99,23 +99,24 @@ def image_to_tile_blocks(img: jnp.ndarray, cfg: RenderConfig):
 
 
 def make_train_step(cfg: RenderConfig, mesh, optimizer,
-                    capacity: Optional[int] = None):
+                    capacity: Optional[int] = None,
+                    exchange_capacity: Optional[int] = None):
     """Build a jitted sharded train step.
 
     Returns ``step(state, camera, target_tiles, tile_mask) ->
     (new_state, metrics)`` where target_tiles/tile_mask come from
-    :func:`image_to_tile_blocks`.
+    :func:`image_to_tile_blocks`.  ``capacity`` is accepted for backward
+    compatibility and ignored (the fused expand+sort path sizes its own
+    slot layout); ``exchange_capacity`` sizes the routed splat->slab
+    exchange (default: :func:`sharded.default_exchange_capacity`).
     """
-    from .mesh import TILE_AXIS
+    del capacity
 
-    if capacity is None:
-        capacity = 0  # 0 = derive from splat count per call (below)
-
-    def loss_fn(params: SplatParams, camera: Camera, target_tiles, tile_mask,
-                cap: int):
+    def loss_fn(params: SplatParams, camera: Camera, target_tiles, tile_mask):
         splats = params.to_splats()
         tile_colors, tile_logtrans = sharded_render_tiles(
-            mesh, splats, camera, cfg, cap)
+            mesh, splats, camera, cfg,
+            exchange_capacity=exchange_capacity)
         bg = jnp.asarray(cfg.background, jnp.float32)
         trans = jnp.exp(tile_logtrans)
         rendered = tile_colors + trans[..., None] * bg[None, None, :]
@@ -124,14 +125,8 @@ def make_train_step(cfg: RenderConfig, mesh, optimizer,
         return loss
 
     def step(state: TrainState, camera: Camera, target_tiles, tile_mask):
-        n = state.params.means.shape[0]
-        tile_shards = mesh.shape[TILE_AXIS]
-        cap = capacity
-        if not cap:
-            cap = -(-cfg.pair_capacity(n) // tile_shards)
-            cap = -(-cap // cfg.chunk_size) * cfg.chunk_size
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, camera, target_tiles, tile_mask, cap)
+            state.params, camera, target_tiles, tile_mask)
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)

@@ -327,13 +327,19 @@ def slot_layout_for(cfg: RenderConfig, n: int):
     return lanes, aux, pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _expand_sort(cfg: RenderConfig, num_tiles: int, aux_cap: int,
-                 tile_lo, depth_q, tx0, ty0, wt, ht, counts,
-                 x, y, ca, cb, cc, cr, cg, cb2, opa, rx, ry):
-    out, _ = _expand_sort_fwd(cfg, num_tiles, aux_cap, tile_lo, depth_q,
-                              tx0, ty0, wt, ht, counts,
-                              x, y, ca, cb, cc, cr, cg, cb2, opa, rx, ry)
+                 n_diff: int, tile_lo, depth_q, tx0, ty0, wt, ht, counts,
+                 *fields):
+    """Generic fused expand+sort over an arbitrary per-splat record.
+
+    ``fields`` are [N] arrays riding the sort as value operands; the first
+    ``n_diff`` are f32 and receive gradients (the rest — packed ints,
+    hard-cutoff radii — are gradient-free plumbing).  Returns
+    (sorted_field_0.., pair_valid, starts, counts, total, overflow).
+    """
+    out, _ = _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo,
+                              depth_q, tx0, ty0, wt, ht, counts, *fields)
     return out
 
 
@@ -358,22 +364,16 @@ def _lane_masks(cfg, counts, wt, ht):
     ]
 
 
-def _expand_sort_fwd(cfg, num_tiles, aux_cap, tile_lo, depth_q,
-                     tx0, ty0, wt, ht, counts,
-                     x, y, ca, cb, cc, cr, cg, cb2, opa, rx, ry):
-    n = x.shape[0]
+def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo, depth_q,
+                     tx0, ty0, wt, ht, counts, *fields):
+    fields = list(fields)
+    n = fields[0].shape[0]
     lanes = cfg.lanes
     pad = (-(lanes * n + aux_cap)) % cfg.chunk_size
     s_total = lanes * n + aux_cap + pad
     tile_bits = max(1, (num_tiles - 1).bit_length())
     fused = tile_bits + cfg.sort_bits <= 31
     tiles_x = cfg.tiles_x
-
-    # Color/opacity stay exact f32 operands (they carry training gradients;
-    # f16 would flatten finite differences and quantize learning signal).
-    # The radius rides as u16 fixed point — it is a hard gradient-free
-    # cutoff and projection already quantized it to 1/16 px.
-    prr = _pack_u16_pair(rx, ry)
 
     # --- lane keys (pure elementwise) ---------------------------------
     tile0 = ty0 * tiles_x + tx0 - tile_lo
@@ -396,32 +396,28 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, tile_lo, depth_q,
         iota_aux = jnp.arange(aux_cap, dtype=jnp.int32)
         splat_of_b = _segment_owner(big, offs, aux_cap, n)
         # one int32 row gather over the (small) aux range; f32 bitcast in
-        bc = functools.partial(jax.lax.bitcast_convert_type,
-                               new_dtype=jnp.int32)
-        aux_tbl = jnp.stack([
-            offs.astype(jnp.int32), wt, tx0, ty0, depth_q,
-            bc(x), bc(y), bc(ca), bc(cb), bc(cc),
-            bc(cr), bc(cg), bc(cb2), bc(opa), prr,
-        ], axis=1)                                     # [N, 15]
-        prow = aux_tbl[splat_of_b]                     # [aux_cap, 15]
+        def bc(f):
+            return f if f.dtype == jnp.int32 else \
+                jax.lax.bitcast_convert_type(f, jnp.int32)
+        aux_tbl = jnp.stack(
+            [offs.astype(jnp.int32), wt, tx0, ty0, depth_q]
+            + [bc(f) for f in fields], axis=1)         # [N, 5 + F]
+        prow = aux_tbl[splat_of_b]                     # [aux_cap, 5 + F]
         rank = iota_aux - prow[:, 0]
         bw = jnp.maximum(prow[:, 1], 1)
         bdy, bdx = rank // bw, rank % bw
         tile_a = (prow[:, 3] + bdy) * tiles_x + (prow[:, 2] + bdx) - tile_lo
         valid_a = iota_aux < jnp.minimum(total_aux, aux_cap)
         depth_a = prow[:, 4]
-        fc = functools.partial(jax.lax.bitcast_convert_type,
-                               new_dtype=jnp.float32)
-        aux_vals = [fc(prow[:, 5]), fc(prow[:, 6]), fc(prow[:, 7]),
-                    fc(prow[:, 8]), fc(prow[:, 9]), fc(prow[:, 10]),
-                    fc(prow[:, 11]), fc(prow[:, 12]), fc(prow[:, 13]),
-                    prow[:, 14]]
+
+        def fc(col, like):
+            return col if like.dtype == jnp.int32 else \
+                jax.lax.bitcast_convert_type(col, jnp.float32)
+        aux_vals = [fc(prow[:, 5 + i], f) for i, f in enumerate(fields)]
         dropped = jnp.maximum(total_aux - aux_cap, 0)
     else:
         aux_vals = None
         dropped = total_aux
-
-    fields = [x, y, ca, cb, cc, cr, cg, cb2, opa, prr]
 
     def cat(i, field):
         parts = [field] * lanes
@@ -475,11 +471,8 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, tile_lo, depth_q,
         vals = sorted_ops[2:]
 
     sorted_slot = vals[0]
-    xs, ys, cas, cbs, ccs = vals[1], vals[2], vals[3], vals[4], vals[5]
-    crs, cgs, cbs2, opas = vals[6], vals[7], vals[8], vals[9]
-    rxs, rys = _unpack_u16_pair(vals[10])
+    sorted_fields = list(vals[1:])
     pair_valid = sorted_tile < num_tiles
-    opas = jnp.where(pair_valid, opas, 0.0)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_tile, tile_ids,
@@ -491,27 +484,26 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, tile_lo, depth_q,
     total = total + total_aux
     overflow = dropped
 
-    out = (xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, rxs, rys,
-           starts, ends - starts, total, overflow)
+    out = tuple(sorted_fields) + (pair_valid, starts, ends - starts,
+                                  total, overflow)
     residuals = (sorted_slot, offs, counts_aux)
     return out, residuals
 
 
-def _expand_sort_bwd(cfg, num_tiles, aux_cap, residuals, cots):
+def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, residuals, cots):
     sorted_slot, offs, counts_aux = residuals
     n = offs.shape[0]
     lanes = cfg.lanes
-    (g_xs, g_ys, g_cas, g_cbs, g_ccs, g_crs, g_cgs, g_cbs2, g_opas,
-     _g_rxs, _g_rys, *_int_cots) = cots
-    # radius is a hard cutoff (stop-gradient contract, like the reference's
-    # quad clamp); its cotangents are dropped.
+    n_fields = len(cots) - 5        # outputs beyond the fields: pair_valid,
+    g_fields = list(cots[:n_diff])  # starts, counts, total, overflow
+    # fields beyond n_diff (packed radii etc.) are hard-cutoff plumbing
+    # (stop-gradient contract, like the reference's quad clamp).
 
     # One sort aligns every pair gradient to its source slot (the sorted
     # slots are a permutation of 0..S-1); lane gradients become plain [N]
     # slices and aux gradients a segment-reduce over elementwise bounds.
     aligned = jax.lax.sort(
-        (sorted_slot, g_xs, g_ys, g_cas, g_cbs, g_ccs, g_crs, g_cgs,
-         g_cbs2, g_opas),
+        tuple([sorted_slot] + g_fields),
         dimension=0, num_keys=1, is_stable=True)[1:]
 
     def to_splat(g):
@@ -526,18 +518,17 @@ def _expand_sort_bwd(cfg, num_tiles, aux_cap, residuals, cots):
         base = lanes * n
         g_aux = jnp.stack([g[base:base + aux_cap] for g in aligned], axis=1)
         prefix = jnp.concatenate(
-            [jnp.zeros((1, 9), jnp.float32), jnp.cumsum(g_aux, axis=0)],
-            axis=0)
+            [jnp.zeros((1, n_diff), jnp.float32),
+             jnp.cumsum(g_aux, axis=0)], axis=0)
         starts_i = jnp.minimum(offs, aux_cap)
         ends_i = jnp.minimum(offs + counts_aux, aux_cap)
-        seg = prefix[ends_i] - prefix[starts_i]                # [N, 9]
-        d = [d[i] + seg[:, i] for i in range(9)]
+        seg = prefix[ends_i] - prefix[starts_i]            # [N, n_diff]
+        d = [d[i] + seg[:, i] for i in range(n_diff)]
 
     # Nones: tile_lo, depth_q, tx0, ty0, wt, ht, counts (integer plumbing),
-    # then the 9 record-field cotangents, then rx, ry (hard cutoff).
+    # then the n_diff record-field cotangents, then the grad-free fields.
     return (None, None, None, None, None, None, None,
-            d[0], d[1], d[2], d[3], d[4], d[5], d[6], d[7], d[8],
-            None, None)
+            *d, *([None] * (n_fields - n_diff)))
 
 
 _expand_sort.defvjp(_expand_sort_fwd, _expand_sort_bwd)
@@ -580,16 +571,23 @@ def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
     ht = ty1 - ty0 + 1
 
     si = jax.lax.stop_gradient
+    # Color/opacity stay exact f32 operands (they carry training gradients;
+    # f16 would flatten finite differences and quantize learning signal).
+    # The radius rides as u16 fixed point — it is a hard gradient-free
+    # cutoff and projection already quantized it to 1/16 px.
+    prr = _pack_u16_pair(si(proj.radius[:, 0]), si(proj.radius[:, 1]))
     out = _expand_sort(
-        cfg, num_tiles, aux_capacity,
+        cfg, num_tiles, aux_capacity, 9,
         jnp.asarray(tile_lo, jnp.int32), depth_q,
         tx0, ty0, wt, ht, counts,
         proj.mean2d[:, 0], proj.mean2d[:, 1],
         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
         proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
-        proj.opacity, si(proj.radius[:, 0]), si(proj.radius[:, 1]))
-    (xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, rxs, rys,
-     starts, tcounts, total, overflow) = out
+        proj.opacity, prr)
+    (xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, prr_s,
+     pair_valid, starts, tcounts, total, overflow) = out
+    rxs, rys = _unpack_u16_pair(prr_s)
+    opas = jnp.where(pair_valid, opas, 0.0)
     return SortedPairs(xs=xs, ys=ys, cas=cas, cbs=cbs, ccs=ccs,
                        crs=crs, cgs=cgs, cbs2=cbs2, opas=opas,
                        rxs=rxs, rys=rys,

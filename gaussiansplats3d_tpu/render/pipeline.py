@@ -198,15 +198,14 @@ def render(splats: SplatData, camera: Camera, cfg: RenderConfig,
     Viewer.js:1804-1822).
     """
     if cfg.render_mode_2d:
-        # 2DGS surfel mode (SplatMaterial2D parity) uses its own
-        # homography-based path; see render/surfel.py.
-        from .surfel import render_2d
-        out = render_2d(splats, camera, cfg, transforms, scene_indices,
-                        scene_opacities, scene_visibility)
-        if return_aux:
-            out["num_pairs"] = jnp.int32(0)
-            out["overflow"] = jnp.int32(0)
-        return out
+        # 2DGS surfel mode (SplatMaterial2D parity): tiled fast path
+        # (elementwise homography projection + fused expand/sort + per-tile
+        # ray-plane compositing); render/surfel.py's global path is its
+        # small-scene oracle.
+        from .surfel import render_2d_tiled
+        return render_2d_tiled(splats, camera, cfg, transforms,
+                               scene_indices, scene_opacities,
+                               scene_visibility, return_aux=return_aux)
 
     proj = project_splats(splats, camera, cfg, transforms, scene_indices,
                           scene_opacities, scene_visibility,

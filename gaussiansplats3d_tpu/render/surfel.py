@@ -19,9 +19,11 @@ JAX path:
   depth = s . (Tw.x, Tw.y) + Tw.z must be >= 0.2 (near_n);
   alpha = min(0.99, opacity * exp(-rho/2)), cutoff below 1/255.
 
-This path composites globally depth-sorted splats over all pixels in
-checkpointed chunks (like the oracle renderer) — correct and differentiable
-end-to-end; a tiled Pallas variant can slot in behind the same interface.
+Two paths share the projection (`project_surfels`, pure elementwise):
+`render_2d` composites globally depth-sorted surfels over all pixels in
+checkpointed chunks (the small-scene oracle), `render_2d_tiled` runs the
+fused expand+sort + per-tile compositor (`rasterize_surfel`) and scales
+like the 3D mode.
 """
 
 from __future__ import annotations
@@ -40,95 +42,6 @@ from .projection import quantize_depth
 _NEAR_N = 0.2
 _FILTER_INV_SQUARE = 2.0
 _RHO_CUTOFF = 2.0 * jnp.log(255.0 * 0.99)   # alpha cutoff in rho units
-
-
-def project_splats_2d(splats: SplatData, camera: Camera, cfg: RenderConfig,
-                      transforms: jnp.ndarray | None = None,
-                      scene_indices: jnp.ndarray | None = None,
-                      scene_opacities: jnp.ndarray | None = None,
-                      scene_visibility: jnp.ndarray | None = None):
-    """Per-splat homography + screen bounds for the 2D mode.
-
-    Returns dict of [N, ...] arrays: T (3x3 rows Tu/Tv/Tw), center2d,
-    radius, color, opacity, depth, mask.
-    """
-    n = splats.num_splats
-    w, h = cfg.width, cfg.height
-
-    means = splats.means
-    if transforms is not None:
-        if scene_indices is None:
-            scene_indices = jnp.zeros((n,), jnp.int32)
-        per_tf = transforms[scene_indices]
-        mv = camera.view[None] @ per_tf                      # [N, 4, 4]
-        inv_tf = jnp.linalg.inv(per_tf)
-        local_cam = jnp.einsum("nij,j->ni", inv_tf[:, :3, :3],
-                               camera.cam_pos) + inv_tf[:, :3, 3]
-        dirs = math3d.normalize(means - local_cam)
-    else:
-        mv = jnp.broadcast_to(camera.view[None], (n, 4, 4))
-        dirs = math3d.normalize(means - camera.cam_pos)
-
-    # clip-space cull + depth (same as the 3D path)
-    view_center = jnp.einsum("nij,nj->ni", mv[:, :3, :3], means) \
-        + mv[:, :3, 3]
-    clip = view_center @ camera.proj[:3, :3].T + camera.proj[:3, 3]
-    clip_w = view_center @ camera.proj[3, :3] + camera.proj[3, 3]
-    lim = CLIP_FACTOR * clip_w
-    visible = ((clip[:, 2] >= -lim) & (clip[:, 0] >= -lim)
-               & (clip[:, 0] <= lim) & (clip[:, 1] >= -lim)
-               & (clip[:, 1] <= lim))
-
-    # L = R S; splat2world rows (L col0 | 0), (L col1 | 0), (center | 1)
-    rot = math3d.quat_to_rotmat(splats.quats)
-    ls = rot * splats.scales[:, None, :]                     # [N, 3, 3]
-    a = jnp.zeros((n, 3, 4), jnp.float32)
-    a = a.at[:, 0, :3].set(ls[:, :, 0])
-    a = a.at[:, 1, :3].set(ls[:, :, 1])
-    a = a.at[:, 2, :3].set(means)
-    a = a.at[:, 2, 3].set(1.0)
-
-    world2ndc = jnp.einsum("ij,njk->nik", camera.proj, mv)   # [N, 4, 4]
-    ndc2pix = jnp.array([
-        [w / 2.0, 0.0, 0.0],
-        [0.0, h / 2.0, 0.0],
-        [0.0, 0.0, 0.0],
-        [w / 2.0, h / 2.0, 1.0]], jnp.float32)               # [4, 3]
-    t_mat = jnp.einsum("nij,njk,kl->nil", a,
-                       world2ndc.transpose(0, 2, 1), ndc2pix)  # [N, 3, 3]
-
-    # GLSL T[i] is COLUMN i: Tu/Tv/Tw are the columns of the 3x3.
-    t0, t1, t3 = t_mat[:, :, 0], t_mat[:, :, 1], t_mat[:, :, 2]
-    sign = jnp.array([1.0, 1.0, -1.0], jnp.float32)
-    distance = jnp.sum(t3 * t3 * sign, axis=1)
-    ok = jnp.abs(distance) >= 1e-5
-    f = sign[None, :] / jnp.where(ok, distance, 1.0)[:, None]
-    center2d = jnp.stack([jnp.sum(f * t0 * t3, axis=1),
-                          jnp.sum(f * t1 * t3, axis=1)], axis=1)
-    temp = jnp.stack([jnp.sum(f * t0 * t0, axis=1),
-                      jnp.sum(f * t1 * t1, axis=1)], axis=1)
-    half_extend = center2d * center2d - temp
-    extent = jnp.sqrt(jnp.maximum(1e-4, half_extend))
-    radius = 3.0 * extent * cfg.splat_scale
-
-    color = eval_sh_color(splats.colors[:, :3], splats.sh, dirs,
-                          cfg.sh_degree)
-    opacity = splats.colors[:, 3]
-    if scene_indices is not None and scene_opacities is not None:
-        sc_op = scene_opacities[scene_indices]
-        if scene_visibility is not None:
-            sc_op = sc_op * scene_visibility[scene_indices].astype(
-                sc_op.dtype)
-        visible = visible & (sc_op > 0.01)
-        opacity = opacity * sc_op
-
-    mask = visible & ok & (opacity >= cfg.min_alpha)
-    depth = jnp.where(mask, clip[:, 2], jnp.inf)
-    opacity = jnp.where(mask, opacity, 0.0)
-    return {
-        "t": t_mat, "center2d": center2d, "radius": radius,
-        "color": color, "opacity": opacity, "depth": depth, "mask": mask,
-    }
 
 
 def _surfel_alpha(chunk, px, py, min_alpha):
@@ -166,9 +79,23 @@ def render_2d(splats: SplatData, camera: Camera, cfg: RenderConfig,
               scene_indices: jnp.ndarray | None = None,
               scene_opacities: jnp.ndarray | None = None,
               scene_visibility: jnp.ndarray | None = None):
-    """Full-image 2DGS render (globally sorted, chunk-checkpointed)."""
-    proj = project_splats_2d(splats, camera, cfg, transforms, scene_indices,
-                             scene_opacities, scene_visibility)
+    """Full-image 2DGS render (globally sorted, chunk-checkpointed).
+
+    This is the tiled path's ORACLE: it validates sorting/tiling/
+    compositing, so it shares the projection (`project_surfels` — the
+    support box must be bit-identical: in 2D mode the box edge carries
+    non-negligible alpha, so any 1/16-px quantization disagreement flips
+    whole fragments).  The fragment math itself is validated independently
+    against a brute-force NumPy evaluation in tests/test_surfel.py.
+    """
+    sp = project_surfels(splats, camera, cfg, transforms, scene_indices,
+                         scene_opacities, scene_visibility)
+    n = splats.num_splats
+    proj = {
+        "t": jnp.stack(list(sp.t), axis=1).reshape(n, 3, 3),
+        "center2d": sp.mean2d, "radius": sp.radius, "color": sp.color,
+        "opacity": sp.opacity, "depth": sp.depth, "mask": sp.mask,
+    }
     key = quantize_depth(proj["depth"], proj["mask"], cfg.sort_bits)
     order = jnp.argsort(key, stable=True)
     recs = {k: proj[k][order] for k in
@@ -208,3 +135,254 @@ def render_2d(splats: SplatData, camera: Camera, cfg: RenderConfig,
         "color": color_img.reshape(cfg.height, cfg.width, 3),
         "alpha": (1.0 - trans).reshape(cfg.height, cfg.width),
     }
+
+
+# ===========================================================================
+# Tiled 2DGS fast path (scales like the 3D mode)
+# ===========================================================================
+#
+# The global path above materializes [N, 3, 3]/[N, 4, 4] temporaries and
+# composites every surfel over every pixel — fine as the 2D oracle, hopeless
+# at real scene sizes (XLA pads small trailing dims to (8, 128) register
+# tiles: a 32-57x HBM blowup).  The fast path below mirrors the 3D design:
+#
+# - projection is pure elementwise math over flat [N] arrays (the [S, 4, 3]
+#   per-scene matrix products stay on the tiny scene axis);
+# - surfel records ride the fused expand+sort (`binning._expand_sort`,
+#   n_diff=15) to per-tile depth-sorted lists;
+# - `rasterize_surfel.composite_surfel_tiles` composites per tile with the
+#   ray-plane fragment math and a replay backward.
+
+from dataclasses import dataclass as _dataclass
+
+from ..core.types import RenderConfig
+from .binning import (
+    _SENTINEL,  # noqa: F401
+    _expand_sort,
+    _pack_u16_pair,
+    _unpack_u16_pair,
+    slot_layout_for,
+)
+
+
+@jax.tree_util.register_dataclass
+@_dataclass
+class SurfelProjection:
+    """Flat per-surfel screen-space quantities (a JAX pytree).
+
+    ``t`` entries are the row-major 3x3 homography (GLSL Tu/Tv/Tw are its
+    columns); mean2d/radius give the binning AABB; all arrays are [N]."""
+
+    t: tuple                 # 9 x [N] (t00 t01 t02 t10 ... t22)
+    mean2d: jnp.ndarray      # [N, 2] center2d
+    radius: jnp.ndarray      # [N, 2] support half-extents (1/16-px grid)
+    color: jnp.ndarray       # [N, 3]
+    opacity: jnp.ndarray     # [N]
+    depth: jnp.ndarray       # [N]
+    mask: jnp.ndarray        # [N] bool
+
+
+def project_surfels(splats: SplatData, camera: Camera, cfg: RenderConfig,
+                    transforms: jnp.ndarray | None = None,
+                    scene_indices: jnp.ndarray | None = None,
+                    scene_opacities: jnp.ndarray | None = None,
+                    scene_visibility: jnp.ndarray | None = None
+                    ) -> SurfelProjection:
+    """Elementwise surfel projection (no [N, k, k] temporaries).
+
+    Same math as the reference (SplatMaterial2D.js:94-187),
+    restructured so every per-splat quantity is a flat [N] expression; the
+    4x4/4x3 matrix algebra happens once per scene on [S, ...] arrays.
+    """
+    n = splats.num_splats
+    w, h = cfg.width, cfg.height
+    means = splats.means
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+
+    ndc2pix = jnp.array([
+        [w / 2.0, 0.0, 0.0],
+        [0.0, h / 2.0, 0.0],
+        [0.0, 0.0, 0.0],
+        [w / 2.0, h / 2.0, 1.0]], jnp.float32)               # [4, 3]
+
+    if transforms is not None:
+        scene_ids = (jnp.zeros((n,), jnp.int32) if scene_indices is None
+                     else scene_indices)
+        tfs = transforms.reshape(-1, 4, 4)
+        mv_s = camera.view[None] @ tfs                        # [S, 4, 4]
+        m_s = jnp.einsum("ij,sjk->sik", camera.proj, mv_s)    # [S, 4, 4]
+        b_s = jnp.einsum("sjk,jl->skl", m_s, ndc2pix)         # [S, 4, 3]
+
+        def bb(i, j):
+            return b_s[:, i, j][scene_ids]
+
+        def mv(i, j):
+            return mv_s[:, i, j][scene_ids]
+
+        inv_tf_s = jnp.linalg.inv(tfs)
+        local_cam_s = (inv_tf_s[:, :3, :3] @ camera.cam_pos
+                       + inv_tf_s[:, :3, 3])
+        dirs = math3d.normalize(means - local_cam_s[scene_ids])
+    else:
+        scene_ids = None
+        mv1 = camera.view
+        m1 = camera.proj @ mv1
+        b1 = jnp.einsum("jk,jl->kl", m1, ndc2pix)             # [4, 3]
+
+        def bb(i, j):
+            return b1[i, j]
+
+        def mv(i, j):
+            return mv1[i, j]
+
+        dirs = math3d.normalize(means - camera.cam_pos)
+
+    # view-space center + clip cull (elementwise, like the 3D path)
+    vx = mv(0, 0) * mx + mv(0, 1) * my + mv(0, 2) * mz + mv(0, 3)
+    vy = mv(1, 0) * mx + mv(1, 1) * my + mv(1, 2) * mz + mv(1, 3)
+    vz = mv(2, 0) * mx + mv(2, 1) * my + mv(2, 2) * mz + mv(2, 3)
+    pr = camera.proj
+    clip_z = pr[2, 0] * vx + pr[2, 1] * vy + pr[2, 2] * vz + pr[2, 3]
+    clip_x = pr[0, 0] * vx + pr[0, 1] * vy + pr[0, 2] * vz + pr[0, 3]
+    clip_y = pr[1, 0] * vx + pr[1, 1] * vy + pr[1, 2] * vz + pr[1, 3]
+    clip_w = pr[3, 0] * vx + pr[3, 1] * vy + pr[3, 2] * vz + pr[3, 3]
+    lim = CLIP_FACTOR * clip_w
+    visible = ((clip_z >= -lim) & (clip_x >= -lim) & (clip_x <= lim)
+               & (clip_y >= -lim) & (clip_y <= lim))
+
+    # L = R S columns 0/1, elementwise quaternion algebra
+    q = splats.quats
+    qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    qx, qy, qz, qw = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    s0, s1 = splats.scales[:, 0], splats.scales[:, 1]
+    l0x = (1 - 2 * (qy * qy + qz * qz)) * s0
+    l0y = (2 * (qx * qy + qw * qz)) * s0
+    l0z = (2 * (qx * qz - qw * qy)) * s0
+    l1x = (2 * (qx * qy - qw * qz)) * s1
+    l1y = (1 - 2 * (qx * qx + qz * qz)) * s1
+    l1z = (2 * (qy * qz + qw * qx)) * s1
+
+    # t[i][j] = a_i . B[:, j]; rows of a: (l0,0), (l1,0), (mean,1)
+    t_rows = []
+    for (ax, ay, az, aw_) in ((l0x, l0y, l0z, None), (l1x, l1y, l1z, None),
+                              (mx, my, mz, 1.0)):
+        for j in range(3):
+            v = ax * bb(0, j) + ay * bb(1, j) + az * bb(2, j)
+            if aw_ is not None:
+                v = v + bb(3, j)
+            t_rows.append(v)
+    (t00, t01, t02, t10, t11, t12, t20, t21, t22) = t_rows
+
+    # screen AABB from the homography (SplatMaterial2D.js:165-187)
+    distance = t02 * t02 + t12 * t12 - t22 * t22
+    ok = jnp.abs(distance) >= 1e-5
+    inv_d = 1.0 / jnp.where(ok, distance, 1.0)
+    f0, f1, f2 = inv_d, inv_d, -inv_d
+    cx = f0 * t00 * t02 + f1 * t10 * t12 + f2 * t20 * t22
+    cy = f0 * t01 * t02 + f1 * t11 * t12 + f2 * t21 * t22
+    tmp_x = f0 * t00 * t00 + f1 * t10 * t10 + f2 * t20 * t20
+    tmp_y = f0 * t01 * t01 + f1 * t11 * t11 + f2 * t21 * t21
+    ext_x = jnp.sqrt(jnp.maximum(1e-4, cx * cx - tmp_x))
+    ext_y = jnp.sqrt(jnp.maximum(1e-4, cy * cy - tmp_y))
+    s = cfg.splat_scale
+    max_ext = float(cfg.max_screen_space_splat_size)
+    rx = jnp.minimum(3.0 * ext_x * s, max_ext)
+    ry = jnp.minimum(3.0 * ext_y * s, max_ext)
+    # 1/16-px ceil quantization: exact in the u16 sort packing, lossless
+    # for the hard cutoff (see projection._eval_covariance2d)
+    rx = jnp.minimum(jnp.ceil(rx * 16.0) * (1.0 / 16.0), 4095.9375)
+    ry = jnp.minimum(jnp.ceil(ry * 16.0) * (1.0 / 16.0), 4095.9375)
+
+    color = eval_sh_color(splats.colors[:, :3], splats.sh, dirs,
+                          cfg.sh_degree)
+    opacity = splats.colors[:, 3]
+    if scene_ids is not None and scene_opacities is not None:
+        sc_op = scene_opacities[scene_ids]
+        if scene_visibility is not None:
+            sc_op = sc_op * scene_visibility[scene_ids].astype(sc_op.dtype)
+        visible = visible & (sc_op > 0.01)
+        opacity = opacity * sc_op
+
+    mask = visible & ok & (opacity >= cfg.min_alpha)
+    depth = jnp.where(mask, clip_z, jnp.inf)
+    opacity = jnp.where(mask, opacity, 0.0)
+    rx = jnp.where(mask, rx, 0.0)
+    ry = jnp.where(mask, ry, 0.0)
+    return SurfelProjection(
+        t=(t00, t01, t02, t10, t11, t12, t20, t21, t22),
+        mean2d=jnp.stack([cx, cy], axis=1),
+        radius=jnp.stack([rx, ry], axis=1),
+        color=color, opacity=opacity, depth=depth, mask=mask)
+
+
+def bin_sort_surfels(sp: SurfelProjection, cfg: RenderConfig,
+                     tile_range: tuple | None = None,
+                     depth_bounds: tuple | None = None,
+                     aux_capacity: int | None = None):
+    """Fused expand+sort for surfel records (17 fields ride the sort).
+
+    Returns (recs [S, 17], tile_starts, tile_counts, total, overflow) in
+    the `rasterize_surfel` record-table layout.
+    """
+    from .binning import tile_bounds
+
+    if tile_range is None:
+        tile_lo, num_tiles = 0, cfg.num_tiles
+        ty_lo, ty_hi = 0, cfg.tiles_y
+    else:
+        tile_lo, num_tiles = tile_range
+        ty_lo = tile_lo // cfg.tiles_x
+        ty_hi = ty_lo + num_tiles // cfg.tiles_x
+
+    n = sp.opacity.shape[0]
+    if aux_capacity is None:
+        _, aux_capacity, _ = slot_layout_for(cfg, n)
+    tx0, tx1, ty0, ty1, counts = tile_bounds(sp, cfg, ty_lo, ty_hi)
+    depth_q = quantize_depth(sp.depth, sp.mask, cfg.sort_bits, depth_bounds)
+    wt = tx1 - tx0 + 1
+    ht = ty1 - ty0 + 1
+
+    si = jax.lax.stop_gradient
+    prr = _pack_u16_pair(si(sp.radius[:, 0]), si(sp.radius[:, 1]))
+    fields = sp.t + (sp.mean2d[:, 0], sp.mean2d[:, 1],
+                     sp.color[:, 0], sp.color[:, 1], sp.color[:, 2],
+                     sp.opacity, prr)
+    out = _expand_sort(cfg, num_tiles, aux_capacity, 15,
+                       jnp.asarray(tile_lo, jnp.int32), depth_q,
+                       tx0, ty0, wt, ht, counts, *fields)
+    sorted_fields = out[:16]
+    pair_valid, starts, tcounts, total, overflow = out[16:]
+    rxs, rys = _unpack_u16_pair(sorted_fields[15])
+    opas = jnp.where(pair_valid, sorted_fields[14], 0.0)
+    recs = jnp.stack(list(sorted_fields[:14]) + [opas, rxs, rys], axis=1)
+    return recs, starts, tcounts, total, overflow
+
+
+def render_2d_tiled(splats: SplatData, camera: Camera, cfg: RenderConfig,
+                    transforms: jnp.ndarray | None = None,
+                    scene_indices: jnp.ndarray | None = None,
+                    scene_opacities: jnp.ndarray | None = None,
+                    scene_visibility: jnp.ndarray | None = None,
+                    return_aux: bool = False):
+    """Tiled 2DGS render — the scalable 2D-mode fast path."""
+    from .pipeline import assemble_image, resolve_backend
+
+    sp = project_surfels(splats, camera, cfg, transforms, scene_indices,
+                         scene_opacities, scene_visibility)
+    recs, starts, tcounts, total, overflow = bin_sort_surfels(sp, cfg)
+    if resolve_backend(cfg) == "pallas":
+        from .pallas_surfel import (
+            composite_surfel_tiles_pallas, pack_surfel_records)
+        packed = pack_surfel_records(recs)
+        tile_ids = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
+        tile_colors, tile_logtrans = composite_surfel_tiles_pallas(
+            cfg, recs.shape[0], packed, starts, tcounts, tile_ids)
+    else:
+        from .rasterize_surfel import composite_surfel_tiles
+        tile_colors, tile_logtrans = composite_surfel_tiles(
+            cfg, recs.shape[0], recs, starts, tcounts, 0)
+    out = assemble_image(tile_colors, tile_logtrans, cfg)
+    if return_aux:
+        out["num_pairs"] = total
+        out["overflow"] = overflow
+    return out

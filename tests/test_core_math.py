@@ -103,3 +103,36 @@ def test_sh_rotation_consistency():
     lhs = sh.eval_sh_color(base, rotated, dirs, degree=2)
     rhs = sh.eval_sh_color(base, coeffs, dirs @ rot, degree=2)  # R^T d
     np.testing.assert_allclose(lhs, rhs, atol=1e-4)
+
+
+def test_bake_transform_matches_dynamic_render():
+    """Baking a static TRS transform into the buffer (means + scale/rot
+    decompose + SH rotation, SplatBuffer.js:349-440/766-817) must render
+    identically to passing the transform dynamically — this is the
+    consumer-side validation of rotate_sh."""
+    import numpy as np
+
+    import gaussiansplats3d_tpu as gs
+    from gaussiansplats3d_tpu.core import math3d
+
+    splats = gs.random_splats(jax.random.PRNGKey(9), 300, sh_degree=2)
+    # rigid + uniform-scale transform
+    axis = np.array([0.3, 0.8, 0.5])
+    axis /= np.linalg.norm(axis)
+    ang = 0.7
+    qx, qy, qz = axis * np.sin(ang / 2)
+    qw = np.cos(ang / 2)
+    r = np.asarray(math3d.quat_to_rotmat(
+        jnp.asarray([[qx, qy, qz, qw]], jnp.float32)))[0]
+    tf = np.eye(4, dtype=np.float32)
+    tf[:3, :3] = 1.3 * r
+    tf[:3, 3] = [0.4, -0.2, 0.3]
+
+    cam = gs.Camera.look_at((2.5, 1.5, 2.5), (0, 0, 0))
+    cfg = gs.RenderConfig(width=64, height=64, sh_degree=2, sort_bits=20)
+    dyn = gs.render(splats, cam, cfg,
+                    transforms=jnp.asarray(tf)[None],
+                    scene_indices=jnp.zeros((300,), jnp.int32))
+    baked = gs.bake_transform(splats, tf)
+    stat = gs.render(baked, cam, cfg)
+    assert float(jnp.max(jnp.abs(dyn["color"] - stat["color"]))) < 3e-3
