@@ -177,13 +177,15 @@ class RenderConfig:
     max_pairs: Optional[int] = None
     # Lanes in the fused expand+sort path (binning.bin_sort_records): each
     # lane is N gather-free slots covering one tile of a splat's rect.
-    # 4 covers every rect up to 2x2 tiles (the overwhelming majority at
-    # real splat sizes); 2 covers 1x2/2x1; 1 covers single-tile only.
-    lanes: int = 4
+    # 4 covers every rect up to 2x2 tiles; 2 covers 1x2/2x1; 1 covers
+    # single-tile only.  2 is the throughput sweet spot at real splat
+    # sizes (~1.5 pairs/splat): the dominant cost is the S = lanes*N +
+    # aux sort, and the compacted aux table absorbs >2-tile splats
+    # cheaply.
+    lanes: int = 2
     # Aux-slot budget (multiple of N) for splats whose tile rect exceeds
-    # the lanes.  <= 0 disables the aux path entirely — its ownership
-    # scatter costs ~13 ns/splat even when no splat needs it — dropping
-    # (and counting in ``overflow``) any beyond-lane pairs.
+    # the lanes.  <= 0 disables the aux path entirely, dropping (and
+    # counting in ``overflow``) any beyond-lane pairs.
     aux_multiplier: float = 0.25
     # Splats processed per compositing chunk (MXU-friendly multiple of 128).
     chunk_size: int = 128

@@ -322,7 +322,9 @@ def slot_layout_for(cfg: RenderConfig, n: int):
     if cfg.aux_multiplier <= 0:
         aux = 0
     else:
-        aux = max(256, int(n * cfg.aux_multiplier))
+        # Floor of 4096: small scenes can be dominated by big splats
+        # (zoomed-in views), where aux pairs far exceed aux_multiplier * n.
+        aux = max(4096, int(n * cfg.aux_multiplier))
     pad = (-(lanes * n + aux)) % cfg.chunk_size
     return lanes, aux, pad
 
@@ -341,6 +343,17 @@ def _expand_sort(cfg: RenderConfig, num_tiles: int, aux_cap: int,
     out, _ = _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo,
                               depth_q, tx0, ty0, wt, ht, counts, *fields)
     return out
+
+
+class _StaticInt(int):
+    """An int residual that survives custom_vjp as a static Python value."""
+
+    def __repr__(self):  # pragma: no cover
+        return f"_StaticInt({int(self)})"
+
+
+jax.tree_util.register_pytree_node(
+    _StaticInt, lambda x: ((), int(x)), lambda aux, _: _StaticInt(aux))
 
 
 def _lane_masks(cfg, counts, wt, ht):
@@ -389,34 +402,62 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo, depth_q,
     big = (counts >= 1) & ~small
 
     # --- aux ownership table for splats beyond the lane rect ----------
+    # Big splats are first COMPACTED into a static [B] table (one 2-operand
+    # sort over N), so every remaining aux op — the ownership scatter, the
+    # segment cumsum, the per-pair row gather and the backward
+    # segment-reduce — runs over the small big-splat range instead of [N].
+    # (The previous [N]-sized cummax+scatter ownership build plus the [N]
+    # backward prefix gathers cost ~60 ms at N=2M on v5e — more than the
+    # whole lanes=2 sort.)
     counts_aux = jnp.where(big, counts, 0)
-    offs = jnp.cumsum(counts_aux) - counts_aux
-    total_aux = offs[-1] + counts_aux[-1]
+    total_aux = jnp.sum(counts_aux)
     if aux_cap > 0:
+        b_cap = -(-max(128, aux_cap // 2) // 128) * 128   # static
+        iota_n = jnp.arange(n, dtype=jnp.int32)
+        _, big_idx = jax.lax.sort(
+            ((~big).astype(jnp.int32), iota_n), dimension=0, num_keys=1,
+            is_stable=True)
+        big_c = big_idx[: min(b_cap, n)]                  # [B'] splat ids
+        if b_cap > n:
+            big_c = jnp.pad(big_c, (0, b_cap - n))
+        n_big = jnp.sum(big.astype(jnp.int32))
+        vb = jnp.arange(b_cap, dtype=jnp.int32) < n_big
+        counts_c = jnp.where(vb, counts_aux[big_c], 0)    # [B]
+        offs_c = jnp.cumsum(counts_c) - counts_c
+        covered = offs_c[-1] + counts_c[-1]               # pairs in table
+
         iota_aux = jnp.arange(aux_cap, dtype=jnp.int32)
-        splat_of_b = _segment_owner(big, offs, aux_cap, n)
-        # one int32 row gather over the (small) aux range; f32 bitcast in
+        marks = jnp.zeros((aux_cap,), jnp.int32).at[
+            jnp.where(counts_c > 0, offs_c, aux_cap)].add(1, mode="drop")
+        ord_c = jnp.clip(jnp.cumsum(marks) - 1, 0, b_cap - 1)
+        # Pair -> owning splat / segment start via two cheap 1-wide gathers
+        # over the aux range, then ONE row gather pulls each pair's whole
+        # record (1-wide per-field gathers are ~6x costlier per index).
+        splat_of = big_c[ord_c]                           # [aux_cap]
+        off_of = offs_c[ord_c]                            # [aux_cap]
+
         def bc(f):
             return f if f.dtype == jnp.int32 else \
                 jax.lax.bitcast_convert_type(f, jnp.int32)
         aux_tbl = jnp.stack(
-            [offs.astype(jnp.int32), wt, tx0, ty0, depth_q]
-            + [bc(f) for f in fields], axis=1)         # [N, 5 + F]
-        prow = aux_tbl[splat_of_b]                     # [aux_cap, 5 + F]
-        rank = iota_aux - prow[:, 0]
-        bw = jnp.maximum(prow[:, 1], 1)
+            [wt, tx0, ty0, depth_q] + [bc(f) for f in fields],
+            axis=1)                                       # [N, 4 + F]
+        prow = aux_tbl[splat_of]                          # [aux_cap, 4 + F]
+        rank = iota_aux - off_of
+        bw = jnp.maximum(prow[:, 0], 1)
         bdy, bdx = rank // bw, rank % bw
-        tile_a = (prow[:, 3] + bdy) * tiles_x + (prow[:, 2] + bdx) - tile_lo
-        valid_a = iota_aux < jnp.minimum(total_aux, aux_cap)
-        depth_a = prow[:, 4]
+        tile_a = (prow[:, 2] + bdy) * tiles_x + (prow[:, 1] + bdx) - tile_lo
+        valid_a = iota_aux < jnp.minimum(covered, aux_cap)
+        depth_a = prow[:, 3]
 
         def fc(col, like):
             return col if like.dtype == jnp.int32 else \
                 jax.lax.bitcast_convert_type(col, jnp.float32)
-        aux_vals = [fc(prow[:, 5 + i], f) for i, f in enumerate(fields)]
-        dropped = jnp.maximum(total_aux - aux_cap, 0)
+        aux_vals = [fc(prow[:, 4 + i], f) for i, f in enumerate(fields)]
+        dropped = total_aux - jnp.minimum(covered, aux_cap)
     else:
         aux_vals = None
+        big_c = counts_c = offs_c = None
         dropped = total_aux
 
     def cat(i, field):
@@ -486,13 +527,13 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo, depth_q,
 
     out = tuple(sorted_fields) + (pair_valid, starts, ends - starts,
                                   total, overflow)
-    residuals = (sorted_slot, offs, counts_aux)
+    residuals = (sorted_slot, _StaticInt(n), big_c, counts_c, offs_c)
     return out, residuals
 
 
 def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, residuals, cots):
-    sorted_slot, offs, counts_aux = residuals
-    n = offs.shape[0]
+    sorted_slot, n, big_c, counts_c, offs_c = residuals
+    n = int(n)
     lanes = cfg.lanes
     n_fields = len(cots) - 5        # outputs beyond the fields: pair_valid,
     g_fields = list(cots[:n_diff])  # starts, counts, total, overflow
@@ -501,7 +542,8 @@ def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, residuals, cots):
 
     # One sort aligns every pair gradient to its source slot (the sorted
     # slots are a permutation of 0..S-1); lane gradients become plain [N]
-    # slices and aux gradients a segment-reduce over elementwise bounds.
+    # slices and aux gradients a segment-reduce over the COMPACT big-splat
+    # table, scattered back to the [N] owners with 1-wide adds.
     aligned = jax.lax.sort(
         tuple([sorted_slot] + g_fields),
         dimension=0, num_keys=1, is_stable=True)[1:]
@@ -520,10 +562,12 @@ def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, residuals, cots):
         prefix = jnp.concatenate(
             [jnp.zeros((1, n_diff), jnp.float32),
              jnp.cumsum(g_aux, axis=0)], axis=0)
-        starts_i = jnp.minimum(offs, aux_cap)
-        ends_i = jnp.minimum(offs + counts_aux, aux_cap)
-        seg = prefix[ends_i] - prefix[starts_i]            # [N, n_diff]
-        d = [d[i] + seg[:, i] for i in range(n_diff)]
+        starts_i = jnp.minimum(offs_c, aux_cap)
+        ends_i = jnp.minimum(offs_c + counts_c, aux_cap)
+        seg = prefix[ends_i] - prefix[starts_i]            # [B, n_diff]
+        owner = jnp.where(counts_c > 0, big_c, n)
+        d = [d[i].at[owner].add(seg[:, i], mode="drop")
+             for i in range(n_diff)]
 
     # Nones: tile_lo, depth_q, tx0, ty0, wt, ht, counts (integer plumbing),
     # then the n_diff record-field cotangents, then the grad-free fields.

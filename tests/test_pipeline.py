@@ -83,9 +83,9 @@ def test_render_facing_away_is_background():
 def test_overflow_reported_not_crashing():
     # Beyond-lane splats overflow an undersized aux budget; the render
     # must report the dropped pairs and stay finite.  lanes=1 routes every
-    # multi-tile splat through aux (at 64x64 there are only 2x2 tiles, so
-    # no rect can exceed the default 4-lane coverage).
-    splats = make_scene(500)
+    # multi-tile splat through aux; 3000 giant splats need far more pairs
+    # than the 4096-slot aux floor (slot_layout_for) provides.
+    splats = make_scene(3000)
     import dataclasses
     splats = dataclasses.replace(splats, scales=splats.scales * 12.0)
     cfg = gs.RenderConfig(width=64, height=64, lanes=1, aux_multiplier=1e-9)
