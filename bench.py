@@ -27,20 +27,68 @@ sys.path.insert(0, "/root/repo")
 
 import gaussiansplats3d_tpu as gs  # noqa: E402
 
-N = int(float(sys.argv[1])) if len(sys.argv) > 1 else 2_000_000
+N = (int(float(sys.argv[1]))
+     if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else 2_000_000)
 WIDTH, HEIGHT = 1920, 1080
 SH_DEGREE = 1
 REFERENCE_CPU_SORT_MSPLATS_PER_S = 10.0
 
 
-def main():
-    cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=SH_DEGREE,
-                          sort_bits=16, pair_multiplier=4.0)
-    splats = gs.random_splats(jax.random.PRNGKey(0), N, sh_degree=SH_DEGREE,
+def _make_scene(n, sh_degree, key=0):
+    splats = gs.random_splats(jax.random.PRNGKey(key), n, sh_degree=sh_degree,
                               extent=2.0)
     # Realistic scan-like splat sizes (a few pixels on screen), so the
     # pair/fragment workload matches real scenes rather than giant blobs.
-    splats = dataclasses.replace(splats, scales=splats.scales * 0.15)
+    return dataclasses.replace(splats, scales=splats.scales * 0.15)
+
+
+def frames_per_s_8m():
+    """Forward-only frames/s at 8M splats SH0 1080p (BASELINE.md metric 2:
+    the reference README's headline '8M splat scenes' capability)."""
+    n = 8_000_000
+    cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=0,
+                          sort_bits=16, pair_multiplier=2.0)
+    splats = _make_scene(n, 0)
+    camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
+                               fov_y_deg=60.0, aspect=WIDTH / HEIGHT)
+    fwd = jax.jit(lambda s: gs.render(s, camera, cfg)["color"])
+    jax.block_until_ready(fwd(splats))
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(splats)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return 1.0 / dt
+
+
+def demo_16m():
+    """16M-splat SH0 1080p forward render on one chip (no OOM) — the
+    reference's headline scene size (/root/reference/README.md:48-53)."""
+    n = 16_000_000
+    cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=0,
+                          sort_bits=16, pair_multiplier=1.5)
+    splats = _make_scene(n, 0)
+    camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
+                               fov_y_deg=60.0, aspect=WIDTH / HEIGHT)
+    fwd = jax.jit(lambda s: gs.render(s, camera, cfg, return_aux=True))
+    out = fwd(splats)
+    jax.block_until_ready(out["color"])
+    t0 = time.perf_counter()
+    out = fwd(splats)
+    jax.block_until_ready(out["color"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "16M SH0 1080p forward (single chip)",
+        "value": round(dt * 1000.0, 1), "unit": "ms",
+        "num_pairs": int(out["num_pairs"]),
+        "overflow": int(out["overflow"])}))
+
+
+def main():
+    cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=SH_DEGREE,
+                          sort_bits=16, pair_multiplier=4.0)
+    splats = _make_scene(N, SH_DEGREE)
     camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
                                fov_y_deg=60.0, aspect=WIDTH / HEIGHT)
 
@@ -68,8 +116,12 @@ def main():
         "unit": "Msplats/s",
         "vs_baseline": round(
             msplats_per_s / REFERENCE_CPU_SORT_MSPLATS_PER_S, 3),
+        "frames_per_s_8m": round(frames_per_s_8m(), 2),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--demo16m":
+        demo_16m()
+    else:
+        main()

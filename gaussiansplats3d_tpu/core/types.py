@@ -164,6 +164,14 @@ class RenderConfig:
     sort_bits: int = DEFAULT_SORT_BITS
     min_alpha: float = 1.0 / 255.0
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    # Emit a per-pixel ``depth`` channel (alpha-weighted mean of the same
+    # clip-space-z depth key the sorter uses; 0 where nothing was hit).
+    # The TPU analogue of the reference's depth-composited overlay quad
+    # (/root/reference/src/SceneHelper.js:38-91): lets callers z-composite
+    # splat renders with other 3D content.  Differentiable (depth rides the
+    # record sort as a gradient-carrying field), so depth-supervised
+    # training losses work.
+    return_depth: bool = False
 
     # --- TPU pipeline knobs ---
     # Compositor backend: 'pallas' (on-chip kernels), 'jax' (pure-JAX scan,

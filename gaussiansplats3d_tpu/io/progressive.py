@@ -7,13 +7,14 @@ watermark load, SplatBuffer.updateLoadedCounts :1038-1048,
 PlyLoader.js:89-291 section streaming, splat/SplatLoader.js:26-173).
 
 TPU re-design: formats whose byte layout is a VALID PREFIX (`.ksplat`,
-`.splat`) decode incrementally — :class:`ProgressiveLoader` accepts chunks
-and produces growing ``SplatData`` snapshots; each snapshot is a fresh
+`.splat`, and binary fixed-stride `.ply` once its header has arrived)
+decode incrementally — :class:`ProgressiveLoader` accepts chunks and
+produces growing ``SplatData`` snapshots; each snapshot is a fresh
 device array (there is no partial-texture upload to emulate — `device_put`
-of the prefix replaces it).  Formats that need the whole buffer (`.ply`
-with its trailing-element layouts handled generically, `.spz` gzip) buffer
-up and decode once at the end — the reference's ``DirectLoadError``
-downgrade path (Viewer.js:1302-1308).
+of the prefix replaces it).  Formats that need the whole buffer (ascii /
+chunked / codebook `.ply` dialects, `.spz` gzip) buffer up and decode once
+at the end — the reference's ``DirectLoadError`` downgrade path
+(Viewer.js:1302-1308).
 """
 
 from __future__ import annotations
@@ -60,7 +61,33 @@ class ProgressiveLoader:
 
     @property
     def supports_incremental(self) -> bool:
-        return self.format in (SceneFormat.KSplat, SceneFormat.Splat)
+        """Whether the stream can produce partial snapshots.
+
+        `.ksplat` / `.splat` always can (valid-prefix layouts).  `.ply` can
+        once the header is in the buffer AND it is a binary fixed-stride
+        dialect (INRIA V1 / point cloud); ascii and chunk/codebook dialects
+        buffer up (the reference's DirectLoadError downgrade).  Before the
+        PLY header is complete this is optimistically True (snapshots just
+        return None until it arrives).
+        """
+        if self.format in (SceneFormat.KSplat, SceneFormat.Splat):
+            return True
+        if self.format == SceneFormat.Ply:
+            info = self._ply_stream_info()
+            return info is not None or not self._ply_header_complete()
+        return False
+
+    def _ply_header_complete(self) -> bool:
+        return self._buf.find(b"end_header") >= 0
+
+    def _ply_stream_info(self):
+        if not self._ply_header_complete():
+            return None
+        from .ply import streamable_ply_info
+        try:
+            return streamable_ply_info(bytes(self._buf))
+        except Exception:
+            return None
 
     @property
     def bytes_received(self) -> int:
@@ -80,6 +107,12 @@ class ProgressiveLoader:
             return 0
         if self.format == SceneFormat.Splat:
             return len(self._buf) // _SPLAT_ROW_BYTES
+        if self.format == SceneFormat.Ply:
+            info = self._ply_stream_info()
+            if info is None:
+                return 0
+            header_size, count, stride = info
+            return max(0, min(count, (len(self._buf) - header_size) // stride))
         from .ksplat import HEADER_BYTES, SECTION_HEADER_BYTES, \
             _bytes_per_splat, parse_ksplat_header
         if len(self._buf) < HEADER_BYTES:
@@ -132,6 +165,9 @@ class ProgressiveLoader:
         if self.format == SceneFormat.Splat:
             from .splat import parse_splat
             snap = parse_splat(data[:avail * _SPLAT_ROW_BYTES])
+        elif self.format == SceneFormat.Ply:
+            from .ply import parse_ply_inria_v1
+            snap = parse_ply_inria_v1(data, max_splats=avail)
         else:
             from .ksplat import parse_ksplat
             snap = parse_ksplat(data, max_bytes=len(data))

@@ -158,13 +158,19 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
         ty1 = jnp.floor((y + ry) / ts).astype(jnp.int32)
         touch = proj.mask & (ty1 >= ty_lo) & (ty0 < ty_hi)
 
+        # depth is normally gradient-free plumbing (sort key only), but with
+        # cfg.return_depth it also feeds the depth CHANNEL, which must stay
+        # differentiable end-to-end (the quantized key path kills gradients
+        # on its own via the int cast either way).
+        depth_f = (proj.depth if cfg.return_depth
+                   else jax.lax.stop_gradient(proj.depth))
         fields = [proj.mean2d[:, 0], proj.mean2d[:, 1],
                   proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
                   proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
                   proj.opacity,
                   jax.lax.stop_gradient(proj.radius[:, 0]),
                   jax.lax.stop_gradient(proj.radius[:, 1]),
-                  jax.lax.stop_gradient(proj.depth)]
+                  depth_f]
         comp, valid_c, dropped = _compact_to_capacity(fields, touch, ecap)
 
         gathered = [

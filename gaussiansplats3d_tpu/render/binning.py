@@ -303,6 +303,9 @@ class SortedPairs:
     opas: jnp.ndarray          # [S] opacity (0 on invalid slots)
     rxs: jnp.ndarray           # [S] support half-extent x
     rys: jnp.ndarray           # [S] support half-extent y
+    # [S] f32 depth (cfg.return_depth only; None otherwise) — the same
+    # pre-quantization depth key the sort uses, 0 on culled splats.
+    depths: jnp.ndarray | None
     tile_starts: jnp.ndarray   # [num_tiles] int32
     tile_counts: jnp.ndarray   # [num_tiles] int32
     total_pairs: jnp.ndarray   # [] int32
@@ -466,7 +469,13 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo, depth_q,
             parts.append(aux_vals[i])
         if pad:
             parts.append(jnp.zeros((pad,), field.dtype))
-        return jnp.concatenate(parts)
+        # All value operands ride the sort as int32 BIT PATTERNS (a sort
+        # only permutes values, so bitcasts round-trip exactly); all-integer
+        # operand lists keep XLA:TPU on its fast sort path.
+        cated = jnp.concatenate(parts)
+        if cated.dtype != jnp.int32:
+            cated = jax.lax.bitcast_convert_type(cated, jnp.int32)
+        return cated
 
     slot = jnp.arange(s_total, dtype=jnp.int32)
     ops = (slot,) + tuple(cat(i, f) for i, f in enumerate(fields))
@@ -512,7 +521,10 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo, depth_q,
         vals = sorted_ops[2:]
 
     sorted_slot = vals[0]
-    sorted_fields = list(vals[1:])
+    sorted_fields = [
+        v if f.dtype == jnp.int32
+        else jax.lax.bitcast_convert_type(v, f.dtype)
+        for v, f in zip(vals[1:], fields)]
     pair_valid = sorted_tile < num_tiles
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -543,10 +555,14 @@ def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, residuals, cots):
     # One sort aligns every pair gradient to its source slot (the sorted
     # slots are a permutation of 0..S-1); lane gradients become plain [N]
     # slices and aux gradients a segment-reduce over the COMPACT big-splat
-    # table, scattered back to the [N] owners with 1-wide adds.
+    # table, scattered back to the [N] owners with 1-wide adds.  Cotangents
+    # ride as int32 bit patterns (same fast-sort-path trick as forward).
     aligned = jax.lax.sort(
-        tuple([sorted_slot] + g_fields),
+        tuple([sorted_slot]
+              + [jax.lax.bitcast_convert_type(g, jnp.int32)
+                 for g in g_fields]),
         dimension=0, num_keys=1, is_stable=True)[1:]
+    aligned = [jax.lax.bitcast_convert_type(g, jnp.float32) for g in aligned]
 
     def to_splat(g):
         acc = g[:n]
@@ -620,20 +636,30 @@ def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
     # The radius rides as u16 fixed point — it is a hard gradient-free
     # cutoff and projection already quantized it to 1/16 px.
     prr = _pack_u16_pair(si(proj.radius[:, 0]), si(proj.radius[:, 1]))
-    out = _expand_sort(
-        cfg, num_tiles, aux_capacity, 9,
-        jnp.asarray(tile_lo, jnp.int32), depth_q,
-        tx0, ty0, wt, ht, counts,
+    diff_fields = [
         proj.mean2d[:, 0], proj.mean2d[:, 1],
         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
         proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
-        proj.opacity, prr)
-    (xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, prr_s,
-     pair_valid, starts, tcounts, total, overflow) = out
+        proj.opacity]
+    if cfg.return_depth:
+        # depth rides as a 10th differentiable operand (culled splats carry
+        # +inf depth — zero it so 0-weight slots can't produce inf * 0 NaNs
+        # in the compositor's matmul).
+        diff_fields.append(jnp.where(proj.mask, proj.depth, 0.0))
+    out = _expand_sort(
+        cfg, num_tiles, aux_capacity, len(diff_fields),
+        jnp.asarray(tile_lo, jnp.int32), depth_q,
+        tx0, ty0, wt, ht, counts, *diff_fields, prr)
+    nf = len(diff_fields) + 1
+    sorted_fields = out[:nf]
+    (xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas) = sorted_fields[:9]
+    depths = sorted_fields[9] if cfg.return_depth else None
+    prr_s = sorted_fields[nf - 1]
+    pair_valid, starts, tcounts, total, overflow = out[nf:]
     rxs, rys = _unpack_u16_pair(prr_s)
     opas = jnp.where(pair_valid, opas, 0.0)
     return SortedPairs(xs=xs, ys=ys, cas=cas, cbs=cbs, ccs=ccs,
                        crs=crs, cgs=cgs, cbs2=cbs2, opas=opas,
-                       rxs=rxs, rys=rys,
+                       rxs=rxs, rys=rys, depths=depths,
                        tile_starts=starts, tile_counts=tcounts,
                        total_pairs=total, overflow=overflow)

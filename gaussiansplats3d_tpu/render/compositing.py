@@ -59,7 +59,8 @@ def composite_chunk(px, py, mean2d, conic, color, opacity, radius, min_alpha,
                     color_acc, trans):
     """Composite one chunk of C splats (front-to-back order) over P pixels.
 
-    Returns updated (color_acc [P, 3], trans [P]).
+    ``color`` may carry any number of channels K (RGB, or RGB + depth when
+    a depth map is requested).  Returns updated (color_acc [P, K], trans [P]).
     """
     alpha = splat_alphas(px, py, mean2d, conic, opacity, radius,
                          min_alpha)  # [C, P]
@@ -81,10 +82,11 @@ def composite_sorted(px, py, mean2d, conic, color, opacity, radius, min_alpha,
     All splat arrays must already be front-to-back sorted and padded to a
     multiple of `chunk_size` (pad with opacity == 0).
 
-    Returns (color [P, 3], trans [P]).
+    Returns (color [P, K], trans [P]).
     """
     p = px.shape[0]
     n = mean2d.shape[0]
+    k = color.shape[-1]
     assert n % chunk_size == 0, (n, chunk_size)
     num_chunks = n // chunk_size
 
@@ -98,11 +100,11 @@ def composite_sorted(px, py, mean2d, conic, color, opacity, radius, min_alpha,
     chunks = (
         mean2d.reshape(num_chunks, chunk_size, 2),
         conic.reshape(num_chunks, chunk_size, 3),
-        color.reshape(num_chunks, chunk_size, 3),
+        color.reshape(num_chunks, chunk_size, k),
         opacity.reshape(num_chunks, chunk_size),
         radius.reshape(num_chunks, chunk_size, 2),
     )
-    init = (jnp.zeros((p, 3), jnp.float32), jnp.ones((p,), jnp.float32))
+    init = (jnp.zeros((p, k), jnp.float32), jnp.ones((p,), jnp.float32))
     (color_acc, trans), _ = jax.lax.scan(
         jax.checkpoint(body), init, chunks)
     return color_acc, trans

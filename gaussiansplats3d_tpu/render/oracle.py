@@ -34,7 +34,10 @@ def reference_render(splats: SplatData, camera: Camera, cfg: RenderConfig,
     """Render one view. Returns dict with 'color' [H, W, 3] and 'alpha' [H, W].
 
     Row 0 of the output is the top of the image.  The background contributes
-    (1 - alpha) * cfg.background.
+    (1 - alpha) * cfg.background.  With ``cfg.return_depth`` the dict also
+    carries 'depth' [H, W]: the alpha-weighted mean of the per-splat depth
+    key (0 where alpha is ~0) — depth rides the compositor as a fourth
+    radiance channel, so it is differentiable like everything else.
     """
     proj = project_splats(splats, camera, cfg, transforms, scene_indices,
                           scene_opacities, scene_visibility)
@@ -46,6 +49,9 @@ def reference_render(splats: SplatData, camera: Camera, cfg: RenderConfig,
     color = proj.color[order]
     opacity = proj.opacity[order]
     radius = proj.radius[order]
+    if cfg.return_depth:
+        depth = jnp.where(proj.mask, proj.depth, 0.0)[order]
+        color = jnp.concatenate([color, depth[:, None]], axis=-1)
 
     n = mean2d.shape[0]
     c = cfg.chunk_size
@@ -63,8 +69,14 @@ def reference_render(splats: SplatData, camera: Camera, cfg: RenderConfig,
         px, py, mean2d, conic, color, opacity, radius, cfg.min_alpha, c)
 
     bg = jnp.asarray(cfg.background, jnp.float32)
-    color_img = color_acc + trans[:, None] * bg[None, :]
-    return {
+    alpha = 1.0 - trans
+    color_img = color_acc[:, :3] + trans[:, None] * bg[None, :]
+    out = {
         "color": color_img.reshape(cfg.height, cfg.width, 3),
-        "alpha": (1.0 - trans).reshape(cfg.height, cfg.width),
+        "alpha": alpha.reshape(cfg.height, cfg.width),
     }
+    if cfg.return_depth:
+        depth = color_acc[:, 3] / jnp.maximum(alpha, 1e-6)
+        depth = jnp.where(alpha > 1e-6, depth, 0.0)
+        out["depth"] = depth.reshape(cfg.height, cfg.width)
+    return out

@@ -33,10 +33,10 @@ Row layout (within a chunk, each row is [1, C] across splats):
 
     row  0-1   mean2d (x, y)
     row  2-4   conic (a, b, c)
-    row  5-7   rgb
-    row  8     opacity
-    row  9-10  support-box radius (rx, ry)
-    row 11-15  padding (zeros)
+    row  5-7   rgb            (5-8 rgb + depth with cfg.return_depth)
+    row  8     opacity        (9 with return_depth)
+    row  9-10  support-box radius (rx, ry)   (10-11 with return_depth)
+    row  rest  padding (zeros)
 
 Gradients come back in the same layout (padding rows zero).
 """
@@ -67,8 +67,8 @@ def pack_records(mean2d_s, conic_s, color_s, opacity_s, radius_s
                  ) -> jnp.ndarray:
     """Pack [cap]-long pair-record arrays into the [cap // C, 16, C] layout.
 
-    The capacity must be a CHUNK multiple (binning's align_chunks layout
-    guarantees it)."""
+    The capacity must be a CHUNK multiple (binning's slot layout pads to
+    one, slot_layout_for)."""
     cap = mean2d_s.shape[0]
     assert cap % CHUNK == 0, cap
     rec = jnp.stack([
@@ -83,16 +83,25 @@ def pack_records(mean2d_s, conic_s, color_s, opacity_s, radius_s
     return rec.reshape(RECORD_WIDTH, cap // CHUNK, CHUNK).transpose(1, 0, 2)
 
 
-def pack_records_flat(xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, rxs, rys
-                      ) -> jnp.ndarray:
+def pack_records_flat(xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, rxs, rys,
+                      depths=None) -> jnp.ndarray:
     """Pack flat [cap] record field arrays (binning.SortedPairs layout)
-    into the [cap // C, 16, C] chunk layout the kernels consume."""
+    into the [cap // C, 16, C] chunk layout the kernels consume.
+
+    With ``depths`` (cfg.return_depth) the channel block grows to 4 rows —
+    [r, g, b, depth] at rows 5-8 — shifting opacity/radius to rows 9-11,
+    so the kernel's per-chunk channel matmul stays one contiguous slice.
+    """
     cap = xs.shape[0]
     assert cap % CHUNK == 0, cap
-    rec = jnp.stack([xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, rxs, rys],
-                    axis=0)                          # [11, cap]
+    rows = [xs, ys, cas, cbs, ccs, crs, cgs, cbs2]
+    if depths is not None:
+        rows.append(depths)
+    rows += [opas, rxs, rys]
+    rec = jnp.stack(rows, axis=0)                    # [11 or 12, cap]
     rec = jnp.concatenate(
-        [rec, jnp.zeros((RECORD_WIDTH - 11, cap), jnp.float32)], axis=0)
+        [rec, jnp.zeros((RECORD_WIDTH - len(rows), cap), jnp.float32)],
+        axis=0)
     return rec.reshape(RECORD_WIDTH, cap // CHUNK, CHUNK).transpose(1, 0, 2)
 
 
@@ -117,12 +126,16 @@ def _window_mask(chunk_base, start, count):
     return (gpos >= start) & (gpos < start + count)
 
 
-def _chunk_alpha_block(rec, px, py, window, min_alpha):
-    """Alpha for one chunk: rec [16, C] -> (alpha [P, C], dx, dy, g)."""
+def _chunk_alpha_block(rec, px, py, window, min_alpha, nc=3):
+    """Alpha for one chunk: rec [16, C] -> (alpha [P, C], dx, dy, g).
+
+    ``nc``: channel-row count (3, or 4 with a depth channel) — opacity and
+    the support radius sit right after the channel block (pack_records_flat).
+    """
     mx, my = rec[0:1, :], rec[1:2, :]                 # [1, C]
     ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
-    opa = rec[8:9, :]
-    rx, ry = rec[9:10, :], rec[10:11, :]
+    opa = rec[5 + nc:6 + nc, :]
+    rx, ry = rec[6 + nc:7 + nc, :], rec[7 + nc:8 + nc, :]
     opa = jnp.where(window, opa, 0.0)
 
     dx = px - mx                                      # [P, C]
@@ -201,11 +214,13 @@ def composite_tiles(cfg: RenderConfig, capacity: int,
     Args:
       records: [capacity // C, 16, C] packed pair records (pack_records).
       tile_starts / tile_counts: [T] pair-list ranges per tile; every start
-        must be CHUNK-aligned (binning's align_chunks=CHUNK layout).
+        need NOT be CHUNK-aligned: the kernel reads floor-aligned chunks
+        and masks each tile's [start, start + count) window.
       tile_ids: [T] global tile ids (pixel-coordinate placement; the
         tile-sharded path passes its slab's global ids).
 
-    Returns (tile_colors [T, P, 3], tile_logtrans [T, P]).
+    Returns (tile_colors [T, P, NC], tile_logtrans [T, P]) — NC is 3, or 4
+    with cfg.return_depth (channel 3 = alpha-weighted depth sum).
     """
     out, _ = _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
                             tile_ids)
@@ -216,6 +231,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
                    tile_ids):
     t = tile_starts.shape[0]
     p = cfg.tile_size * cfg.tile_size
+    nc = 4 if cfg.return_depth else 3
 
     def kernel(starts_ref, counts_ref, ids_ref, rec_hbm,
                colors_out, logt_out, exit_k_out, chunk_vmem, sem):
@@ -248,12 +264,12 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
             rec = chunk_vmem[jax.lax.rem(k, 2)]
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
             alpha, _, _, _ = _chunk_alpha_block(rec, px, py, window,
-                                                cfg.min_alpha)
+                                                cfg.min_alpha, nc)
             logw = jnp.log1p(-alpha)                  # [P, C]
             incl = _prefix_sum_lanes(logw)
             excl = incl - logw                        # [P, C] excl. prefix
             w = alpha * jnp.exp(excl + logt)          # [P, C]
-            col = col + _mm_nt(w, rec[5:8, :])        # [P, 3]
+            col = col + _mm_nt(w, rec[5:5 + nc, :])   # [P, NC]
             logt = jnp.maximum(
                 logt + incl[:, CHUNK - 1:CHUNK], _LOG_T_FLOOR)
             return k + 1, col, logt
@@ -264,7 +280,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
 
         k_end, col, logt = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.zeros((p, 3), jnp.float32),
+            (jnp.int32(0), jnp.zeros((p, nc), jnp.float32),
              jnp.zeros((p, 1), jnp.float32)))
         # Drain the prefetch issued for the chunk after the exit point so
         # the semaphore is clean for the next grid step.
@@ -280,7 +296,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
         grid=(t,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, p, nc), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -296,7 +312,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t, p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((t, p, nc), jnp.float32),
             jax.ShapeDtypeStruct((t, p, 1), jnp.float32),
             jax.ShapeDtypeStruct((t,), jnp.int32),
         ],
@@ -311,6 +327,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
     gcol, glogt = cotangents
     t = tile_starts.shape[0]
     p = cfg.tile_size * cfg.tile_size
+    nc = 4 if cfg.return_depth else 3
 
     def kernel(starts_ref, counts_ref, ids_ref, exit_k_ref,
                rec_hbm, logt_blk, gcol_blk, glogt_blk, grad_in_hbm,
@@ -325,7 +342,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         k_exit = exit_k_ref[i]
 
         logt_fin_t = logt_blk[0]                      # [P, 1]
-        gcol_t = gcol_blk[0]                          # [P, 3]
+        gcol_t = gcol_blk[0]                          # [P, NC]
         glogt_t = glogt_blk[0]                        # [P, 1]
 
         def dma_for(k):
@@ -371,7 +388,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             rec = chunk_vmem[jax.lax.rem(k, 2)]
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
             alpha, dx, dy, g = _chunk_alpha_block(rec, px, py, window,
-                                                  cfg.min_alpha)
+                                                  cfg.min_alpha, nc)
             logw = jnp.log1p(-alpha)                   # [P, C]
             incl = _prefix_sum_lanes(logw)
             chunk_sum = incl[:, CHUNK - 1:CHUNK]
@@ -380,8 +397,8 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             t_i = jnp.exp(excl + logt_before)          # [P, C]
             w = alpha * t_i
 
-            cg = _mm(gcol_t, rec[5:8, :])              # [P, C]
-            d_color3 = _mm_tn(gcol_t, w)               # [3, C]
+            cg = _mm(gcol_t, rec[5:5 + nc, :])         # [P, C]
+            d_chan = _mm_tn(gcol_t, w)                 # [NC, C]
             u = w * cg
             suffix = _suffix_sum_lanes(u) - u + sg     # [P, C]
 
@@ -404,9 +421,9 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
                 rowsum(d_quad * dx * dx) * maskc,
                 rowsum(d_quad * 2.0 * dx * dy) * maskc,
                 rowsum(d_quad * dy * dy) * maskc,
-                d_color3 * maskc,
+                d_chan * maskc,
                 rowsum(d_opa_frag) * maskc,
-                jnp.zeros((RECORD_WIDTH - 9, CHUNK), jnp.float32),
+                jnp.zeros((RECORD_WIDTH - 6 - nc, CHUNK), jnp.float32),
             ], axis=0)                                      # [16, C]
             # Pipelined read-modify-write accumulation: adjacent tiles
             # share floor-aligned boundary chunks, so contributions ADD
@@ -444,7 +461,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             pl.BlockSpec(memory_space=pl.ANY),                 # records
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # logt_fin
-            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, p, nc), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # gcol
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # glogt

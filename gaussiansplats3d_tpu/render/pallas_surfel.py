@@ -17,13 +17,15 @@ plus [1, C] row reductions — no MXU except the color accumulation.
 
 Record packing — [capacity // C, 24, C] f32 (24 rows = 3 sublane tiles):
 
-    row  0-8   T row-major (t00 t01 t02 | t10 ... t22); Tu/Tv/Tw are the
-               COLUMNS: Tu = (r0, r3, r6), Tv = (r1, r4, r7), Tw = (r2, r5, r8)
-    row  9-10  center2d (x, y)
-    row 11-13  rgb
-    row 14     opacity (0 on invalid slots)
-    row 15-16  support-box radius (rx, ry) — hard cutoff, no gradient
-    row 17-23  padding (zeros)
+    row  0-8      T row-major (t00 t01 t02 | t10 ... t22); Tu/Tv/Tw are the
+                  COLUMNS: Tu = (r0, r3, r6), Tv = (r1, r4, r7), Tw = (r2, r5, r8)
+    row  9-10     center2d (x, y)
+    row 11:11+NC  channels (rgb, or rgb + per-splat depth with
+                  cfg.return_depth — the same 4th-channel re-design as
+                  pallas_rasterize)
+    row 11+NC     opacity (0 on invalid slots)
+    row 12+NC..   support-box radius (rx, ry) — hard cutoff, no gradient
+    rest          padding (zeros)
 """
 
 from __future__ import annotations
@@ -57,7 +59,8 @@ _LOG_EXIT = math.log(1.0 / 512.0)
 
 
 def pack_surfel_records(recs: jnp.ndarray) -> jnp.ndarray:
-    """[cap, 17] record table (rasterize_surfel layout) -> [cap//C, 24, C]."""
+    """[cap, 17 or 18] record table (rasterize_surfel layout)
+    -> [cap//C, 24, C]."""
     cap = recs.shape[0]
     assert cap % CHUNK == 0, cap
     rec = recs.T                                      # [17, cap]
@@ -68,15 +71,16 @@ def pack_surfel_records(recs: jnp.ndarray) -> jnp.ndarray:
                        CHUNK).transpose(1, 0, 2)
 
 
-def _surfel_chunk_alpha(rec, px, py, window, min_alpha):
+def _surfel_chunk_alpha(rec, px, py, window, min_alpha, nc=3):
     """Fragment forward for one chunk: rec [24, C] -> alpha [P, C] plus the
-    intermediates the backward chain reuses."""
+    intermediates the backward chain reuses.  ``nc``: channel-row count
+    (3, or 4 with a depth channel) — opacity/radius sit right after."""
     tu0, tv0, tw0 = rec[0:1, :], rec[1:2, :], rec[2:3, :]
     tu1, tv1, tw1 = rec[3:4, :], rec[4:5, :], rec[5:6, :]
     tu2, tv2, tw2 = rec[6:7, :], rec[7:8, :], rec[8:9, :]
     cx, cy = rec[9:10, :], rec[10:11, :]
-    opa = jnp.where(window, rec[14:15, :], 0.0)
-    rx, ry = rec[15:16, :], rec[16:17, :]
+    opa = jnp.where(window, rec[11 + nc:12 + nc, :], 0.0)
+    rx, ry = rec[12 + nc:13 + nc, :], rec[13 + nc:14 + nc, :]
 
     k0 = px * tw0 - tu0                                # [P, C]
     k1 = px * tw1 - tu1
@@ -114,7 +118,8 @@ def composite_surfel_tiles_pallas(cfg: RenderConfig, capacity: int,
     """Pallas surfel compositor.
 
     records: [capacity // C, 24, C] (pack_surfel_records).
-    Returns (tile_colors [T, P, 3], tile_logtrans [T, P]).
+    Returns (tile_colors [T, P, NC], tile_logtrans [T, P]) — NC is 3, or 4
+    with cfg.return_depth (channel 3 = alpha-weighted depth sum).
     """
     out, _ = _fwd(cfg, capacity, records, tile_starts, tile_counts,
                   tile_ids)
@@ -124,6 +129,7 @@ def composite_surfel_tiles_pallas(cfg: RenderConfig, capacity: int,
 def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
     t = tile_starts.shape[0]
     p = cfg.tile_size * cfg.tile_size
+    nc = 4 if cfg.return_depth else 3
 
     def kernel(starts_ref, counts_ref, ids_ref, rec_hbm,
                colors_out, logt_out, exit_k_out, chunk_vmem, sem):
@@ -153,12 +159,12 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
             rec = chunk_vmem[jax.lax.rem(k, 2)]
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
             alpha = _surfel_chunk_alpha(rec, px, py, window,
-                                        cfg.min_alpha)[0]
+                                        cfg.min_alpha, nc)[0]
             logw = jnp.log1p(-alpha)
             incl = _prefix_sum_lanes(logw)
             excl = incl - logw
             w = alpha * jnp.exp(excl + logt)
-            col = col + _mm_nt(w, rec[11:14, :])
+            col = col + _mm_nt(w, rec[11:11 + nc, :])
             logt = jnp.maximum(
                 logt + incl[:, CHUNK - 1:CHUNK], _LOG_T_FLOOR)
             return k + 1, col, logt
@@ -169,7 +175,7 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
 
         k_end, col, logt = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.zeros((p, 3), jnp.float32),
+            (jnp.int32(0), jnp.zeros((p, nc), jnp.float32),
              jnp.zeros((p, 1), jnp.float32)))
         @pl.when(k_end < num_chunks)
         def _():
@@ -183,7 +189,7 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
         grid=(t,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, p, nc), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -199,7 +205,7 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t, p, 3), jnp.float32),
+            jax.ShapeDtypeStruct((t, p, nc), jnp.float32),
             jax.ShapeDtypeStruct((t, p, 1), jnp.float32),
             jax.ShapeDtypeStruct((t,), jnp.int32),
         ],
@@ -214,6 +220,7 @@ def _bwd(cfg, capacity, residuals, cotangents):
     gcol, glogt = cotangents
     t = tile_starts.shape[0]
     p = cfg.tile_size * cfg.tile_size
+    nc = 4 if cfg.return_depth else 3
 
     def kernel(starts_ref, counts_ref, ids_ref, exit_k_ref,
                rec_hbm, logt_blk, gcol_blk, glogt_blk, grad_in_hbm,
@@ -268,7 +275,7 @@ def _bwd(cfg, capacity, residuals, cotangents):
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
             (alpha, ea, su, sv, sp2, k0, k1, k2, l0, l1, l2, dx, dy,
              use3d) = _surfel_chunk_alpha(rec, px, py, window,
-                                          cfg.min_alpha)
+                                          cfg.min_alpha, nc)
             logw = jnp.log1p(-alpha)
             incl = _prefix_sum_lanes(logw)
             chunk_sum = incl[:, CHUNK - 1:CHUNK]
@@ -277,8 +284,8 @@ def _bwd(cfg, capacity, residuals, cotangents):
             t_i = jnp.exp(excl + logt_before)
             w = alpha * t_i
 
-            cg = _mm(gcol_t, rec[11:14, :])             # [P, C]
-            d_color3 = _mm_tn(gcol_t, w)                # [3, C]
+            cg = _mm(gcol_t, rec[11:11 + nc, :])        # [P, C]
+            d_chan = _mm_tn(gcol_t, w)                  # [NC, C]
             u = w * cg
             suffix = _suffix_sum_lanes(u) - u + sg
 
@@ -288,7 +295,7 @@ def _bwd(cfg, capacity, residuals, cotangents):
             d_alpha = jnp.where(gate, d_alpha, 0.0)
 
             # --- fragment transpose (hand-derived) -------------------
-            opa = rec[14:15, :]
+            opa = rec[11 + nc:12 + nc, :]
             d_opa_frag = d_alpha * ea                  # alpha = opa * ea
             d_rho = d_alpha * opa * ea * (-0.5)
             d_rho3 = jnp.where(use3d, d_rho, 0.0)
@@ -330,8 +337,8 @@ def _bwd(cfg, capacity, residuals, cotangents):
                 -rowsum(d_dy) * maskc,                          # cy
             ]
             gr = jnp.concatenate(
-                rows + [d_color3 * maskc, rowsum(d_opa_frag) * maskc,
-                        jnp.zeros((SURFEL_RECORD_WIDTH - 15, CHUNK),
+                rows + [d_chan * maskc, rowsum(d_opa_frag) * maskc,
+                        jnp.zeros((SURFEL_RECORD_WIDTH - 12 - nc, CHUNK),
                                   jnp.float32)], axis=0)        # [24, C]
 
             slot = jax.lax.rem(k, 2)
@@ -361,7 +368,7 @@ def _bwd(cfg, capacity, residuals, cotangents):
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 3), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, p, nc), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -46,20 +46,27 @@ def composite_sorted(cfg: RenderConfig, pairs: SortedPairs,
     Returns (tile_colors [T, P, 3], tile_logtrans [T, P]).
     """
     s_cap = pairs.capacity
+    if cfg.return_depth:
+        assert pairs.depths is not None, (
+            "cfg.return_depth requires pairs built with the same config")
     if resolve_backend(cfg) == "pallas":
         from .pallas_rasterize import composite_tiles, pack_records_flat
         records3 = pack_records_flat(
             pairs.xs, pairs.ys, pairs.cas, pairs.cbs, pairs.ccs,
             pairs.crs, pairs.cgs, pairs.cbs2, pairs.opas,
-            pairs.rxs, pairs.rys)
+            pairs.rxs, pairs.rys,
+            depths=pairs.depths if cfg.return_depth else None)
         tile_ids = jnp.arange(num_tiles, dtype=jnp.int32) + tile_base
         return composite_tiles(cfg, s_cap, records3,
                                pairs.tile_starts, pairs.tile_counts, tile_ids)
+    chan = [pairs.crs, pairs.cgs, pairs.cbs2]
+    if cfg.return_depth:
+        chan.append(pairs.depths)
     return rasterize_pairs(
         cfg, s_cap,
         jnp.stack([pairs.xs, pairs.ys], axis=1),
         jnp.stack([pairs.cas, pairs.cbs, pairs.ccs], axis=1),
-        jnp.stack([pairs.crs, pairs.cgs, pairs.cbs2], axis=1),
+        jnp.stack(chan, axis=1),
         pairs.opas,
         jnp.stack([pairs.rxs, pairs.rys], axis=1),
         pairs.tile_starts, pairs.tile_counts, tile_base)
@@ -163,9 +170,13 @@ def assemble_image(tile_colors: jnp.ndarray, tile_logtrans: jnp.ndarray,
     """Tile blocks -> (color [H, W, 3], alpha [H, W]) with row 0 at the top.
 
     Tile pixels are GL-oriented (y up); output images are raster-oriented.
+    With cfg.return_depth, tile_colors carries a 4th channel (alpha-weighted
+    depth sum) emitted as ``depth``: the alpha-normalized mean depth, 0 where
+    nothing was hit (SceneHelper.js:38-91 parity — lets callers z-composite).
     """
     ts = cfg.tile_size
     ty, tx = cfg.tiles_y, cfg.tiles_x
+    nc = tile_colors.shape[-1]
     trans = jnp.exp(tile_logtrans)
 
     def to_image(tiles, ch):
@@ -174,13 +185,19 @@ def assemble_image(tile_colors: jnp.ndarray, tile_logtrans: jnp.ndarray,
         # GL row y lives at image row H - 1 - y; crop the y/x padding.
         return img[:cfg.height][::-1, :cfg.width]
 
-    color = to_image(tile_colors, 3)
+    chans = to_image(tile_colors, nc)
+    color = chans[..., :3]
     trans_img = to_image(trans[..., None], 1)[..., 0]
     bg = jnp.asarray(cfg.background, jnp.float32)
-    return {
+    alpha = 1.0 - trans_img
+    out = {
         "color": color + trans_img[..., None] * bg[None, None, :],
-        "alpha": 1.0 - trans_img,
+        "alpha": alpha,
     }
+    if nc == 4:
+        depth = chans[..., 3] / jnp.maximum(alpha, 1e-6)
+        out["depth"] = jnp.where(alpha > 1e-6, depth, 0.0)
+    return out
 
 
 def render(splats: SplatData, camera: Camera, cfg: RenderConfig,
@@ -193,9 +210,10 @@ def render(splats: SplatData, camera: Camera, cfg: RenderConfig,
     """Render one view through the tiled fast path.
 
     Returns a dict with ``color`` [H, W, 3] and ``alpha`` [H, W]; with
-    ``return_aux`` also ``num_pairs`` / ``overflow`` diagnostics (the
-    framework's equivalent of the reference info panel's splat counts,
-    Viewer.js:1804-1822).
+    ``cfg.return_depth`` also ``depth`` [H, W] (alpha-weighted mean depth,
+    0 where empty); with ``return_aux`` also ``num_pairs`` / ``overflow``
+    diagnostics (the framework's equivalent of the reference info panel's
+    splat counts, Viewer.js:1804-1822).
     """
     if cfg.render_mode_2d:
         # 2DGS surfel mode (SplatMaterial2D parity): tiled fast path

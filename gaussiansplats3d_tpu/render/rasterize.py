@@ -91,7 +91,7 @@ def rasterize_pairs(cfg: RenderConfig, capacity: int,
     """Composite sorted pair records into tile blocks.
 
     Args:
-      mean2d_s [cap, 2], conic_s [cap, 3], color_s [cap, 3], opacity_s [cap],
+      mean2d_s [cap, 2], conic_s [cap, 3], color_s [cap, K], opacity_s [cap],
       radius_s [cap, 2]:
         pair records in sorted order (invalid pairs must have opacity 0).
         radius_s is the hard support-box cutoff (no gradient flows through it).
@@ -99,7 +99,8 @@ def rasterize_pairs(cfg: RenderConfig, capacity: int,
       tile_base: global tile id of local tile 0 (the tile-sharded path passes
         its slab offset so pixel coordinates are screen-global).
 
-    Returns (tile_colors [T, P, 3], tile_logtrans [T, P]) with P = tile_size^2.
+    Returns (tile_colors [T, P, K], tile_logtrans [T, P]) with P = tile_size^2
+    (K = color channel count: 3, or 4 when a depth channel rides along).
     """
     out, _ = _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s,
                                  opacity_s, radius_s, tile_starts, tile_counts,
@@ -130,6 +131,7 @@ def _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s, opacity_s,
     c = cfg.chunk_size
     p = cfg.tile_size * cfg.tile_size
     g = _GROUP_SIZE
+    kc = color_s.shape[1]
 
     def render_group(_, group):
         starts, counts, ids = group
@@ -155,7 +157,7 @@ def _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s, opacity_s,
             logt = jnp.maximum(logt + jnp.sum(logw, axis=1), _LOG_T_FLOOR)
             return k + 1, col, logt
 
-        init = (jnp.int32(0), jnp.zeros((g, p, 3), jnp.float32),
+        init = (jnp.int32(0), jnp.zeros((g, p, kc), jnp.float32),
                 jnp.zeros((g, p), jnp.float32))
         _, col, logt = jax.lax.while_loop(cond, body, init)
         return None, (col, logt)
@@ -163,7 +165,7 @@ def _rasterize_fwd_impl(cfg, capacity, mean2d_s, conic_s, color_s, opacity_s,
     groups = (starts_p.reshape(-1, g), counts_p.reshape(-1, g),
               tile_ids.reshape(-1, g))
     _, (cols, logts) = jax.lax.scan(render_group, None, groups)
-    tile_colors = cols.reshape(-1, p, 3)[:t]
+    tile_colors = cols.reshape(-1, p, kc)[:t]
     tile_logtrans = logts.reshape(-1, p)[:t]
     residuals = (mean2d_s, conic_s, color_s, opacity_s, radius_s,
                  tile_starts, tile_counts, tile_base, tile_logtrans)
@@ -190,6 +192,7 @@ def _rasterize_bwd(cfg, capacity, residuals, cotangents):
     ngroups = starts_p.shape[0] // g
 
     pad_t = starts_p.shape[0] - t
+    kc = color_s.shape[1]
     g_col_p = jnp.pad(g_col, ((0, pad_t), (0, 0), (0, 0)))
     g_logt_p = jnp.pad(g_logt, ((0, pad_t), (0, 0)))
     logt_final_p = jnp.pad(tile_logtrans, ((0, pad_t), (0, 0)))
@@ -286,7 +289,7 @@ def _rasterize_bwd(cfg, capacity, residuals, cotangents):
 
     groups = (starts_p.reshape(ngroups, g), counts_p.reshape(ngroups, g),
               tile_ids.reshape(ngroups, g),
-              g_col_p.reshape(ngroups, g, p, 3),
+              g_col_p.reshape(ngroups, g, p, kc),
               g_logt_p.reshape(ngroups, g, p),
               logt_final_p.reshape(ngroups, g, p))
     (gm, gc, gcl, gop), _ = jax.lax.scan(

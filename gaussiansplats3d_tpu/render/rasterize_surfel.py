@@ -15,14 +15,15 @@ function per chunk, so the hand-written part is only the compositing
 algebra (d_alpha from the replayed transmittance) shared with
 `rasterize._rasterize_bwd`.
 
-Record table layout ([capacity, 17] f32):
+Record table layout ([capacity, 17] f32 — or [capacity, 18] with a depth
+channel, cfg.return_depth):
 
-    col 0-8   T row-major (t00 t01 t02 | t10 t11 t12 | t20 t21 t22)
-              where GLSL Tu = (t00, t10, t20) etc. (columns)
-    col 9-10  center2d (x, y)
-    col 11-13 rgb
-    col 14    opacity (0 on invalid slots)
-    col 15-16 support-box radius (rx, ry) — hard cutoff, no gradient
+    col 0-8      T row-major (t00 t01 t02 | t10 t11 t12 | t20 t21 t22)
+                 where GLSL Tu = (t00, t10, t20) etc. (columns)
+    col 9-10     center2d (x, y)
+    col 11:-3    channels (rgb, or rgb + per-splat depth)
+    col -3       opacity (0 on invalid slots)
+    col -2,-1    support-box radius (rx, ry) — hard cutoff, no gradient
 """
 
 from __future__ import annotations
@@ -41,8 +42,7 @@ _ALPHA_MAX = 0.99
 _NEAR_N = 0.2
 _FILTER_INV_SQUARE = 2.0
 
-SURFEL_RECORD_WIDTH = 17
-_N_DIFF_COLS = 15          # cols 15-16 (radius) are gradient-free
+SURFEL_RECORD_WIDTH = 17   # 18 with a depth channel; last 2 cols = radius
 
 
 def _tile_pixel_coords(tile_ids: jnp.ndarray, cfg: RenderConfig):
@@ -65,8 +65,8 @@ def surfel_alpha(rec, px, py, min_alpha):
     """
     t = rec[..., 0:9]                                   # [G, C, 9]
     cx, cy = rec[..., 9:10], rec[..., 10:11]
-    opa = rec[..., 14:15]
-    rx, ry = rec[..., 15:16], rec[..., 16:17]
+    opa = rec[..., -3:-2]
+    rx, ry = rec[..., -2:-1], rec[..., -1:]
     pxb = px[:, None, :]                                # [G, 1, P]
     pyb = py[:, None, :]
 
@@ -123,8 +123,9 @@ def composite_surfel_tiles(cfg: RenderConfig, capacity: int,
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Composite sorted surfel records into tile blocks.
 
-    recs: [capacity, 17] record table (invalid slots: opacity 0).
-    Returns (tile_colors [T, P, 3], tile_logtrans [T, P]).
+    recs: [capacity, 17 or 18] record table (invalid slots: opacity 0).
+    Returns (tile_colors [T, P, NC], tile_logtrans [T, P]) where NC is the
+    channel count (3, or 4 with cfg.return_depth's depth column).
     """
     out, _ = _fwd_impl(cfg, capacity, recs, tile_starts, tile_counts,
                        tile_base)
@@ -137,6 +138,7 @@ def _fwd_impl(cfg, capacity, recs, tile_starts, tile_counts, tile_base):
     c = cfg.chunk_size
     p = cfg.tile_size * cfg.tile_size
     g = _GROUP_SIZE
+    nc = recs.shape[1] - 14            # channel cols: 11 .. width-3
 
     def render_group(_, group):
         starts, counts, ids = group
@@ -150,19 +152,19 @@ def _fwd_impl(cfg, capacity, recs, tile_starts, tile_counts, tile_base):
             k, col, logt = state
             rec, local, _ = _gather_chunk(recs, starts, k, cfg, capacity)
             mask = (local[None, :] < counts[:, None]).astype(jnp.float32)
-            rec = rec.at[..., 14].multiply(mask)
+            rec = rec.at[..., -3].multiply(mask)
             alpha = surfel_alpha(rec, px, py, cfg.min_alpha)   # [G, C, P]
             logw = jnp.log1p(-alpha)
             excl = jnp.cumsum(logw, axis=1) - logw
             w = alpha * jnp.exp(excl + logt[:, None, :])
             col = col + jnp.einsum(
-                "gcp,gck->gpk", w, rec[..., 11:14],
+                "gcp,gck->gpk", w, rec[..., 11:11 + nc],
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
             logt = jnp.maximum(logt + jnp.sum(logw, axis=1), _LOG_T_FLOOR)
             return k + 1, col, logt
 
-        init = (jnp.int32(0), jnp.zeros((g, p, 3), jnp.float32),
+        init = (jnp.int32(0), jnp.zeros((g, p, nc), jnp.float32),
                 jnp.zeros((g, p), jnp.float32))
         _, col, logt = jax.lax.while_loop(cond, body, init)
         return None, (col, logt)
@@ -170,7 +172,7 @@ def _fwd_impl(cfg, capacity, recs, tile_starts, tile_counts, tile_base):
     groups = (starts_p.reshape(-1, g), counts_p.reshape(-1, g),
               tile_ids.reshape(-1, g))
     _, (cols, logts) = jax.lax.scan(render_group, None, groups)
-    tile_colors = cols.reshape(-1, p, 3)[:t]
+    tile_colors = cols.reshape(-1, p, nc)[:t]
     tile_logtrans = logts.reshape(-1, p)[:t]
     residuals = (recs, tile_starts, tile_counts, tile_base, tile_logtrans)
     return (tile_colors, tile_logtrans), residuals
@@ -184,6 +186,7 @@ def _bwd_impl(cfg, capacity, residuals, cotangents):
     c = cfg.chunk_size
     p = cfg.tile_size * cfg.tile_size
     g = _GROUP_SIZE
+    nc = recs.shape[1] - 14            # channel cols: 11 .. width-3
     ngroups = starts_p.shape[0] // g
 
     pad_t = starts_p.shape[0] - t
@@ -207,7 +210,7 @@ def _bwd_impl(cfg, capacity, residuals, cotangents):
             k = k - 1
             rec, local, _ = _gather_chunk(recs, starts, k, cfg, capacity)
             mask = (local[None, :] < counts[:, None]).astype(jnp.float32)
-            rec = rec.at[..., 14].multiply(mask)
+            rec = rec.at[..., -3].multiply(mask)
 
             # replay transmittance exactly in log space
             alpha, alpha_vjp = jax.vjp(
@@ -218,7 +221,7 @@ def _bwd_impl(cfg, capacity, residuals, cotangents):
             excl = jnp.cumsum(logw, axis=1) - logw
             t_i = jnp.exp(excl + logt_before[:, None, :])     # [G, C, P]
             w = alpha * t_i
-            cl = rec[..., 11:14]
+            cl = rec[..., 11:11 + nc]
 
             d_cl = jnp.einsum("gcp,gpk->gck", w, gcol_tile,
                               preferred_element_type=jnp.float32,
@@ -238,10 +241,10 @@ def _bwd_impl(cfg, capacity, residuals, cotangents):
 
             # machine-derived fragment chain: d_alpha -> d_record columns
             (d_rec,) = alpha_vjp(d_alpha)
-            d_rec = d_rec.at[..., 11:14].add(d_cl)
+            d_rec = d_rec.at[..., 11:11 + nc].add(d_cl)
             d_rec = d_rec * mask[..., None]
             # radius columns are a hard cutoff
-            d_rec = d_rec.at[..., _N_DIFF_COLS:].set(0.0)
+            d_rec = d_rec.at[..., -2:].set(0.0)
 
             idx = jnp.clip(starts[:, None] + local[None, :], 0,
                            capacity - 1)
@@ -257,7 +260,7 @@ def _bwd_impl(cfg, capacity, residuals, cotangents):
 
     groups = (starts_p.reshape(ngroups, g), counts_p.reshape(ngroups, g),
               tile_ids.reshape(ngroups, g),
-              g_col_p.reshape(ngroups, g, p, 3),
+              g_col_p.reshape(ngroups, g, p, nc),
               g_logt_p.reshape(ngroups, g, p),
               logt_final_p.reshape(ngroups, g, p))
     grad_recs, _ = jax.lax.scan(bwd_group, grad_recs, groups)

@@ -91,9 +91,15 @@ def render_2d(splats: SplatData, camera: Camera, cfg: RenderConfig,
     sp = project_surfels(splats, camera, cfg, transforms, scene_indices,
                          scene_opacities, scene_visibility)
     n = splats.num_splats
+    color = sp.color
+    if cfg.return_depth:
+        # depth rides as a 4th radiance channel (alpha-weighted mean depth,
+        # same re-design as the 3D path; culled splats carry +inf -> 0).
+        d = jnp.where(sp.mask, sp.depth, 0.0)
+        color = jnp.concatenate([color, d[:, None]], axis=-1)
     proj = {
         "t": jnp.stack(list(sp.t), axis=1).reshape(n, 3, 3),
-        "center2d": sp.mean2d, "radius": sp.radius, "color": sp.color,
+        "center2d": sp.mean2d, "radius": sp.radius, "color": color,
         "opacity": sp.opacity, "depth": sp.depth, "mask": sp.mask,
     }
     key = quantize_depth(proj["depth"], proj["mask"], cfg.sort_bits)
@@ -114,6 +120,8 @@ def render_2d(splats: SplatData, camera: Camera, cfg: RenderConfig,
     px, py = pixel_grid(cfg.width, cfg.height)
     p = px.shape[0]
 
+    nc = color.shape[-1]
+
     def body(carry, chunk):
         color_acc, trans = carry
         alpha = _surfel_alpha(chunk, px, py, cfg.min_alpha)
@@ -126,15 +134,21 @@ def render_2d(splats: SplatData, camera: Camera, cfg: RenderConfig,
         trans = trans * jnp.exp(jnp.sum(logw, axis=0))
         return (color_acc, trans), None
 
-    init = (jnp.zeros((p, 3), jnp.float32), jnp.ones((p,), jnp.float32))
+    init = (jnp.zeros((p, nc), jnp.float32), jnp.ones((p,), jnp.float32))
     (color_acc, trans), _ = jax.lax.scan(jax.checkpoint(body), init, chunks)
 
     bg = jnp.asarray(cfg.background, jnp.float32)
-    color_img = color_acc + trans[:, None] * bg[None, :]
-    return {
+    alpha_img = 1.0 - trans
+    color_img = color_acc[:, :3] + trans[:, None] * bg[None, :]
+    out = {
         "color": color_img.reshape(cfg.height, cfg.width, 3),
-        "alpha": (1.0 - trans).reshape(cfg.height, cfg.width),
+        "alpha": alpha_img.reshape(cfg.height, cfg.width),
     }
+    if cfg.return_depth:
+        depth_img = color_acc[:, 3] / jnp.maximum(alpha_img, 1e-6)
+        depth_img = jnp.where(alpha_img > 1e-6, depth_img, 0.0)
+        out["depth"] = depth_img.reshape(cfg.height, cfg.width)
+    return out
 
 
 # ===========================================================================
@@ -319,10 +333,11 @@ def bin_sort_surfels(sp: SurfelProjection, cfg: RenderConfig,
                      tile_range: tuple | None = None,
                      depth_bounds: tuple | None = None,
                      aux_capacity: int | None = None):
-    """Fused expand+sort for surfel records (17 fields ride the sort).
+    """Fused expand+sort for surfel records (the fields ride the sort).
 
-    Returns (recs [S, 17], tile_starts, tile_counts, total, overflow) in
-    the `rasterize_surfel` record-table layout.
+    Returns (recs [S, 17] — or [S, 18] with cfg.return_depth's extra
+    channel column — tile_starts, tile_counts, total, overflow) in the
+    `rasterize_surfel` record-table layout.
     """
     from .binning import tile_bounds
 
@@ -344,17 +359,23 @@ def bin_sort_surfels(sp: SurfelProjection, cfg: RenderConfig,
 
     si = jax.lax.stop_gradient
     prr = _pack_u16_pair(si(sp.radius[:, 0]), si(sp.radius[:, 1]))
+    chan = [sp.color[:, 0], sp.color[:, 1], sp.color[:, 2]]
+    if cfg.return_depth:
+        # depth as a 4th channel column (alpha-weighted mean depth, the
+        # same re-design as the 3D path); culled splats carry +inf -> 0.
+        chan.append(jnp.where(sp.mask, sp.depth, 0.0))
     fields = sp.t + (sp.mean2d[:, 0], sp.mean2d[:, 1],
-                     sp.color[:, 0], sp.color[:, 1], sp.color[:, 2],
-                     sp.opacity, prr)
-    out = _expand_sort(cfg, num_tiles, aux_capacity, 15,
+                     *chan, sp.opacity, prr)
+    n_diff = 12 + len(chan)           # t(9) + center2d(2) + chan + opacity
+    out = _expand_sort(cfg, num_tiles, aux_capacity, n_diff,
                        jnp.asarray(tile_lo, jnp.int32), depth_q,
                        tx0, ty0, wt, ht, counts, *fields)
-    sorted_fields = out[:16]
-    pair_valid, starts, tcounts, total, overflow = out[16:]
-    rxs, rys = _unpack_u16_pair(sorted_fields[15])
-    opas = jnp.where(pair_valid, sorted_fields[14], 0.0)
-    recs = jnp.stack(list(sorted_fields[:14]) + [opas, rxs, rys], axis=1)
+    sorted_fields = out[:n_diff + 1]
+    pair_valid, starts, tcounts, total, overflow = out[n_diff + 1:]
+    rxs, rys = _unpack_u16_pair(sorted_fields[n_diff])
+    opas = jnp.where(pair_valid, sorted_fields[n_diff - 1], 0.0)
+    recs = jnp.stack(list(sorted_fields[:n_diff - 1]) + [opas, rxs, rys],
+                     axis=1)
     return recs, starts, tcounts, total, overflow
 
 

@@ -120,3 +120,30 @@ def test_binning_layout_invariants():
     valid = np.asarray(pairs.pair_valid)
     assert valid[:min(total, eff)].all()
     assert not valid[min(total, eff):].any()
+
+
+def test_depth_channel_pallas_matches_oracle():
+    # 4-channel record layout (rgb + depth at rows 5-8, opacity/radius
+    # shifted): forward depth map and gradients through it must match the
+    # oracle / jax backend.
+    splats = gs.random_splats(jax.random.PRNGKey(3), 500, sh_degree=0)
+    cam = gs.Camera.look_at((2.5, 1.5, 2.5), (0, 0, 0), fov_y_deg=60,
+                            aspect=1.0)
+    cfg_p = gs.RenderConfig(width=96, height=96, return_depth=True,
+                            backend="pallas")
+    cfg_j = cfg_p.replace(backend="jax")
+    ref = gs.reference_render(splats, cam, cfg_j)
+    out = gs.render(splats, cam, cfg_p)
+    assert jnp.max(jnp.abs(out["depth"] - ref["depth"])) < 1e-3
+    assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 4e-3
+
+    def loss(s, cfg):
+        o = gs.render(s, cam, cfg)
+        return jnp.mean(o["depth"] ** 2) + jnp.mean(o["color"] ** 2)
+
+    gp = jax.grad(lambda s: loss(s, cfg_p))(splats)
+    gj = jax.grad(lambda s: loss(s, cfg_j))(splats)
+    for name in ("means", "scales", "quats", "colors"):
+        a, b = getattr(gp, name), getattr(gj, name)
+        scale = max(float(jnp.abs(b).max()), 1e-10)
+        assert float(jnp.abs(a - b).max()) / scale < 1e-2, name

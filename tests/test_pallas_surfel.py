@@ -103,3 +103,30 @@ def test_full_2d_pipeline_pallas_backend():
         a, b = getattr(gp, name), getattr(gj, name)
         scale = max(float(jnp.abs(b).max()), 1e-10)
         assert float(jnp.abs(a - b).max()) / scale < 1e-2, name
+
+
+def test_surfel_depth_channel_matches_xla():
+    # 4-channel record layout (rgb + depth, opacity/radius shifted by one
+    # row): forward and gradients must agree between the Pallas kernel and
+    # the XLA compositor.
+    splats = gs.random_splats(jax.random.PRNGKey(9), 400, sh_degree=0)
+    cam = gs.Camera.look_at((2.5, 1.5, 2.5), (0, 0, 0), fov_y_deg=60,
+                            aspect=1.0)
+    cfg_p = gs.RenderConfig(width=96, height=96, render_mode_2d=True,
+                            return_depth=True, backend="pallas")
+    cfg_j = cfg_p.replace(backend="jax")
+    out_p = gs.render(splats, cam, cfg_p)
+    out_j = gs.render(splats, cam, cfg_j)
+    assert float(jnp.max(jnp.abs(out_p["depth"] - out_j["depth"]))) < 1e-3
+    assert float(jnp.max(jnp.abs(out_p["color"] - out_j["color"]))) < 4e-3
+
+    def loss(s, cfg):
+        o = gs.render(s, cam, cfg)
+        return jnp.mean(o["depth"] ** 2) + jnp.mean(o["color"] ** 2)
+
+    gp = jax.grad(lambda s: loss(s, cfg_p))(splats)
+    gj = jax.grad(lambda s: loss(s, cfg_j))(splats)
+    for name in ("means", "scales", "quats", "colors"):
+        a, b = getattr(gp, name), getattr(gj, name)
+        scale = max(float(jnp.abs(b).max()), 1e-10)
+        assert float(jnp.abs(a - b).max()) / scale < 2e-2, name

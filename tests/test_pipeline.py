@@ -132,3 +132,33 @@ def test_point_cloud_mode_tiled():
     ref = gs.reference_render(splats, cam, cfg)
     out = gs.render(splats, cam, cfg)
     assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 2e-3
+
+
+def test_depth_channel_matches_oracle():
+    # cfg.return_depth adds a differentiable per-pixel expected-depth map
+    # (SceneHelper.js:38-91 z-compositing parity, rendered as a 4th channel).
+    splats = make_scene(400)
+    cfg = gs.RenderConfig(width=96, height=80, return_depth=True)
+    cam = make_camera()
+    ref = gs.reference_render(splats, cam, cfg)
+    out = gs.render(splats, cam, cfg)
+    assert "depth" in out and out["depth"].shape == (80, 96)
+    assert jnp.max(jnp.abs(out["depth"] - ref["depth"])) < 1e-3
+    assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 2e-3
+    # hit pixels carry positive depth; empty pixels exactly 0
+    assert float(jnp.max(out["depth"])) > 0.0
+    empty = out["alpha"] <= 1e-6
+    assert jnp.all(jnp.where(empty, out["depth"], 0.0) == 0.0)
+
+
+def test_depth_channel_gradients():
+    splats = make_scene(200)
+    cfg = gs.RenderConfig(width=64, height=64, return_depth=True)
+    cam = make_camera()
+
+    def loss(s):
+        return jnp.mean(gs.render(s, cam, cfg)["depth"] ** 2)
+
+    g = jax.grad(loss)(splats)
+    assert bool(jnp.all(jnp.isfinite(g.means)))
+    assert float(jnp.max(jnp.abs(g.means))) > 0.0

@@ -40,9 +40,9 @@ def _stream(loader, data, fractions):
     return snaps
 
 
-@pytest.mark.parametrize("ext", ["ksplat", "splat"])
+@pytest.mark.parametrize("ext", ["ksplat", "splat", "ply"])
 def test_progressive_prefix_decodes_and_grows(tmp_path, ext):
-    splats = scene(sh_degree=1 if ext == "ksplat" else 0)
+    splats = scene(sh_degree=0 if ext == "splat" else 1)
     path = str(tmp_path / f"s.{ext}")
     gs.save(splats, path)
     data = open(path, "rb").read()
@@ -88,9 +88,10 @@ def test_progressive_render_matches_full(tmp_path):
 
 
 def test_progressive_buffered_formats_finalize(tmp_path):
-    # .ply needs the whole buffer: snapshots stay None, finalize decodes.
+    # .spz is gzip-framed — no valid prefix: snapshots stay None and
+    # finalize decodes the complete buffer (DirectLoadError downgrade).
     splats = scene(sh_degree=0)
-    path = str(tmp_path / "s.ply")
+    path = str(tmp_path / "s.spz")
     gs.save(splats, path)
     data = open(path, "rb").read()
     loader = ProgressiveLoader.for_path(path)
@@ -98,6 +99,25 @@ def test_progressive_buffered_formats_finalize(tmp_path):
     assert _stream(loader, data, [0.5, 1.0]) == [None, None]
     final = loader.finalize()
     assert final.num_splats == splats.num_splats
+
+
+def test_progressive_ply_ascii_buffers_up(tmp_path):
+    # ascii PLY rows have no fixed stride: the loader must downgrade to
+    # buffer-up instead of emitting partial snapshots.
+    # minimal ascii point-cloud PLY (different dialect, same loader entry)
+    n = 20
+    rng = np.random.RandomState(0)
+    pts = rng.randn(n, 3).astype(np.float32)
+    header = ("ply\nformat ascii 1.0\n"
+              f"element vertex {n}\n"
+              "property float x\nproperty float y\nproperty float z\n"
+              "end_header\n")
+    body = "\n".join(" ".join(f"{v:.6f}" for v in row) for row in pts) + "\n"
+    data = (header + body).encode("ascii")
+    loader = ProgressiveLoader(SceneFormat.Ply, min_new_splats=1)
+    assert _stream(loader, data, [0.5, 1.0]) == [None, None]
+    final = loader.finalize()
+    assert final.num_splats == n
 
 
 def test_viewer_progressive_load(tmp_path):

@@ -192,3 +192,27 @@ def test_sharded_16m_dryrun():
     img = np.asarray(out["color"])
     assert np.isfinite(img).all()
     assert img.max() > 0
+
+
+def test_sharded_depth_channel_matches_single_device():
+    # cfg.return_depth through the sharded exchange: depth rides routing as
+    # a differentiable field and the slab compositors emit the 4th channel.
+    splats = scene(400)
+    cfg = CFG.replace(return_depth=True)
+    mesh = make_mesh(splat_shards=2, tile_shards=4)
+    ref = gs.render(splats, CAM, cfg)
+    sp = device_put_sharded_splats(splats, mesh)
+    out = jax.jit(lambda s: sharded_render(mesh, s, CAM, cfg))(sp)
+    assert jnp.max(jnp.abs(out["depth"] - ref["depth"])) < 1e-3
+    assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 2e-3
+
+    def loss_sharded(s):
+        return jnp.mean(sharded_render(mesh, s, CAM, cfg)["depth"] ** 2)
+
+    def loss_single(s):
+        return jnp.mean(gs.render(s, CAM, cfg)["depth"] ** 2)
+
+    g_sh = jax.jit(jax.grad(loss_sharded))(sp)
+    g_ref = jax.grad(loss_single)(splats)
+    scale = max(float(jnp.abs(g_ref.means).max()), 1e-10)
+    assert float(jnp.abs(g_sh.means - g_ref.means).max()) / scale < 1e-2

@@ -171,3 +171,34 @@ def test_surfel_fragment_math_vs_numpy():
             T_acc *= (1.0 - a)
         np.testing.assert_allclose(np.asarray(tc)[t_id, pid], c_acc,
                                    atol=1e-5)
+
+
+def test_render_2d_depth_channel_matches_global():
+    # cfg.return_depth in 2D surfel mode: the tiled fast path's depth map
+    # (alpha-weighted mean per-splat depth, 0 where empty) must match the
+    # globally-sorted oracle path's.
+    s = surfel_scene(250)
+    cfg = gs.RenderConfig(width=96, height=80, render_mode_2d=True,
+                          sh_degree=1, return_depth=True)
+    out = gs.render(s, CAM, cfg)
+    from gaussiansplats3d_tpu.render.surfel import render_2d
+    ref = render_2d(s, CAM, cfg)
+    assert out["depth"].shape == (80, 96)
+    assert float(jnp.max(jnp.abs(out["depth"] - ref["depth"]))) < 1e-3
+    assert float(jnp.max(jnp.abs(out["color"] - ref["color"]))) < 2e-3
+    assert float(jnp.max(out["depth"])) > 0.0
+    empty = out["alpha"] <= 1e-6
+    assert bool(jnp.all(jnp.where(empty, out["depth"], 0.0) == 0.0))
+
+
+def test_render_2d_depth_gradients():
+    s = surfel_scene(120)
+    cfg = gs.RenderConfig(width=48, height=48, render_mode_2d=True,
+                          return_depth=True)
+
+    def loss(sp):
+        return jnp.mean(gs.render(sp, CAM, cfg)["depth"] ** 2)
+
+    g = jax.grad(loss)(s)
+    assert bool(jnp.all(jnp.isfinite(g.means)))
+    assert float(jnp.max(jnp.abs(g.means))) > 0.0
