@@ -33,6 +33,11 @@ XLA inserts the (tiny) boundary exchanges.
 Multi-scene dynamic mode (per-scene transforms / opacities / visibility —
 the reference's dynamicScene path, SplatMaterial.js:140-147) shards
 ``scene_indices`` with the splats and replicates the tiny per-scene arrays.
+
+2DGS surfel mode (``cfg.render_mode_2d``, SplatMaterial2D parity) runs the
+same decomposition with the surfel projection/records/compositor swapped
+in: the routed exchange carries the 3x3 homography rows instead of the
+conic, and the slab composite is the ray-plane fragment kernel.
 """
 
 from __future__ import annotations
@@ -137,8 +142,13 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
 
     def body(splats_l, camera_r, scene_idx_l, scene_args):
         tfs, sc_op, sc_vis = scene_args
-        proj = project_splats(splats_l, camera_r, cfg,
-                              tfs, scene_idx_l, sc_op, sc_vis)
+        if cfg.render_mode_2d:
+            from ..render.surfel import project_surfels
+            proj = project_surfels(splats_l, camera_r, cfg,
+                                   tfs, scene_idx_l, sc_op, sc_vis)
+        else:
+            proj = project_splats(splats_l, camera_r, cfg,
+                                  tfs, scene_idx_l, sc_op, sc_vis)
 
         # Depth bounds feed integer sort keys only — non-differentiable
         # plumbing (pmin/pmax have no AD rule, and shouldn't need one here).
@@ -164,39 +174,70 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
         # on its own via the int cast either way).
         depth_f = (proj.depth if cfg.return_depth
                    else jax.lax.stop_gradient(proj.depth))
-        fields = [proj.mean2d[:, 0], proj.mean2d[:, 1],
-                  proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-                  proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
-                  proj.opacity,
-                  jax.lax.stop_gradient(proj.radius[:, 0]),
-                  jax.lax.stop_gradient(proj.radius[:, 1]),
-                  depth_f]
+        if cfg.render_mode_2d:
+            # surfel records: the 3x3 homography rows replace the conic
+            fields = list(proj.t) + [
+                proj.mean2d[:, 0], proj.mean2d[:, 1],
+                proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+                proj.opacity,
+                jax.lax.stop_gradient(proj.radius[:, 0]),
+                jax.lax.stop_gradient(proj.radius[:, 1]),
+                depth_f]
+        else:
+            fields = [proj.mean2d[:, 0], proj.mean2d[:, 1],
+                      proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+                      proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+                      proj.opacity,
+                      jax.lax.stop_gradient(proj.radius[:, 0]),
+                      jax.lax.stop_gradient(proj.radius[:, 1]),
+                      depth_f]
         comp, valid_c, dropped = _compact_to_capacity(fields, touch, ecap)
 
         gathered = [
             jax.lax.all_gather(f, SPLAT_AXIS, axis=0, tiled=True)
             for f in comp + [valid_c.astype(jnp.float32)]]
-        (gx, gy, gca, gcb, gcc, gcr, gcg, gcb2, gop, grx, gry, gdepth,
-         gvalid_f) = gathered
-        gmask = gvalid_f > 0.5
-        proj_g = ProjectedSplats(
-            mean2d=jnp.stack([gx, gy], axis=1),
-            conic=jnp.stack([gca, gcb, gcc], axis=1),
-            color=jnp.stack([gcr, gcg, gcb2], axis=1),
-            opacity=jnp.where(gmask, gop, 0.0),
-            depth=jnp.where(gmask, gdepth, big),
-            radius=jnp.stack([grx, gry], axis=1),
-            mask=gmask)
-
-        # --- slab-local fused expand + sort + composite ---------------
+        gmask = gathered[-1] > 0.5
         tile_lo = t_idx * local_tiles
-        pairs = bin_sort_records(proj_g, cfg,
-                                 tile_range=(tile_lo, local_tiles),
-                                 depth_bounds=(dmin, dmax))
-        tile_colors, tile_logtrans = composite_sorted(
-            cfg, pairs, tile_lo, local_tiles)
+
+        if cfg.render_mode_2d:
+            from ..render.surfel import (
+                SurfelProjection, bin_sort_surfels, composite_surfels_sorted)
+            (gt0, gt1, gt2, gt3, gt4, gt5, gt6, gt7, gt8, gx, gy,
+             gcr, gcg, gcb2, gop, grx, gry, gdepth) = gathered[:-1]
+            sp_g = SurfelProjection(
+                t=(gt0, gt1, gt2, gt3, gt4, gt5, gt6, gt7, gt8),
+                mean2d=jnp.stack([gx, gy], axis=1),
+                radius=jnp.stack([grx, gry], axis=1),
+                color=jnp.stack([gcr, gcg, gcb2], axis=1),
+                opacity=jnp.where(gmask, gop, 0.0),
+                depth=jnp.where(gmask, gdepth, big),
+                mask=gmask)
+            recs, starts, tcounts, _, pair_ovf = bin_sort_surfels(
+                sp_g, cfg, tile_range=(tile_lo, local_tiles),
+                depth_bounds=(dmin, dmax))
+            tile_colors, tile_logtrans = composite_surfels_sorted(
+                cfg, recs, starts, tcounts, tile_lo, local_tiles)
+        else:
+            (gx, gy, gca, gcb, gcc, gcr, gcg, gcb2, gop, grx, gry,
+             gdepth) = gathered[:-1]
+            proj_g = ProjectedSplats(
+                mean2d=jnp.stack([gx, gy], axis=1),
+                conic=jnp.stack([gca, gcb, gcc], axis=1),
+                color=jnp.stack([gcr, gcg, gcb2], axis=1),
+                opacity=jnp.where(gmask, gop, 0.0),
+                depth=jnp.where(gmask, gdepth, big),
+                radius=jnp.stack([grx, gry], axis=1),
+                mask=gmask)
+
+            # --- slab-local fused expand + sort + composite -----------
+            pairs = bin_sort_records(proj_g, cfg,
+                                     tile_range=(tile_lo, local_tiles),
+                                     depth_bounds=(dmin, dmax))
+            tile_colors, tile_logtrans = composite_sorted(
+                cfg, pairs, tile_lo, local_tiles)
+            pair_ovf = pairs.overflow
         overflow = jax.lax.psum(
-            jax.lax.psum(dropped + pairs.overflow, SPLAT_AXIS), TILE_AXIS)
+            jax.lax.psum(dropped + pair_ovf, SPLAT_AXIS), TILE_AXIS)
         return tile_colors, tile_logtrans, overflow
 
     splat_spec = jax.tree.map(lambda _: P(SPLAT_AXIS), splats)

@@ -379,6 +379,25 @@ def bin_sort_surfels(sp: SurfelProjection, cfg: RenderConfig,
     return recs, starts, tcounts, total, overflow
 
 
+def composite_surfels_sorted(cfg: RenderConfig, recs, starts, tcounts,
+                             tile_base, num_tiles: int):
+    """Backend dispatch for the surfel tile compositor (the 2D analogue of
+    pipeline.composite_sorted).  ``tile_base``/``num_tiles`` follow the
+    tile-sharded slab contract (tile ids are pixel-global)."""
+    from .pipeline import resolve_backend
+
+    if resolve_backend(cfg) == "pallas":
+        from .pallas_surfel import (
+            composite_surfel_tiles_pallas, pack_surfel_records)
+        packed = pack_surfel_records(recs)
+        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32) + tile_base
+        return composite_surfel_tiles_pallas(
+            cfg, recs.shape[0], packed, starts, tcounts, tile_ids)
+    from .rasterize_surfel import composite_surfel_tiles
+    return composite_surfel_tiles(
+        cfg, recs.shape[0], recs, starts, tcounts, tile_base)
+
+
 def render_2d_tiled(splats: SplatData, camera: Camera, cfg: RenderConfig,
                     transforms: jnp.ndarray | None = None,
                     scene_indices: jnp.ndarray | None = None,
@@ -386,22 +405,13 @@ def render_2d_tiled(splats: SplatData, camera: Camera, cfg: RenderConfig,
                     scene_visibility: jnp.ndarray | None = None,
                     return_aux: bool = False):
     """Tiled 2DGS render — the scalable 2D-mode fast path."""
-    from .pipeline import assemble_image, resolve_backend
+    from .pipeline import assemble_image
 
     sp = project_surfels(splats, camera, cfg, transforms, scene_indices,
                          scene_opacities, scene_visibility)
     recs, starts, tcounts, total, overflow = bin_sort_surfels(sp, cfg)
-    if resolve_backend(cfg) == "pallas":
-        from .pallas_surfel import (
-            composite_surfel_tiles_pallas, pack_surfel_records)
-        packed = pack_surfel_records(recs)
-        tile_ids = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
-        tile_colors, tile_logtrans = composite_surfel_tiles_pallas(
-            cfg, recs.shape[0], packed, starts, tcounts, tile_ids)
-    else:
-        from .rasterize_surfel import composite_surfel_tiles
-        tile_colors, tile_logtrans = composite_surfel_tiles(
-            cfg, recs.shape[0], recs, starts, tcounts, 0)
+    tile_colors, tile_logtrans = composite_surfels_sorted(
+        cfg, recs, starts, tcounts, 0, cfg.num_tiles)
     out = assemble_image(tile_colors, tile_logtrans, cfg)
     if return_aux:
         out["num_pairs"] = total
