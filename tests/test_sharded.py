@@ -257,3 +257,34 @@ def test_sharded_2d_surfel_matches_single_device():
         a, b = getattr(g_sh, name), getattr(g_ref, name)
         s_ = max(float(jnp.abs(b).max()), 1e-10)
         assert float(jnp.abs(a - b).max()) / s_ < 5e-2, name
+
+
+def test_train_step_2d_surfel_reduces_loss():
+    # 2DGS training through the sharded mesh: the same train step drives
+    # the surfel pipeline when cfg.render_mode_2d is set.
+    import dataclasses
+    import numpy as np
+    cfg = CFG.replace(render_mode_2d=True)
+    mesh = make_mesh(splat_shards=4, tile_shards=2)
+
+    def flat(s):
+        sc = np.array(s.scales)
+        sc[:, 2] = 1e-6
+        return dataclasses.replace(s, scales=jnp.asarray(sc))
+
+    target_splats = flat(scene(256, seed=11))
+    target = gs.render(target_splats, CAM, cfg)["color"]
+    target_tiles, tile_mask = image_to_tile_blocks(target, cfg)
+
+    init = flat(scene(256, seed=12))
+    opt = optax.adam(2e-2)
+    state = TrainState.create(device_put_sharded_splats(init, mesh), opt)
+    step = jax.jit(make_train_step(cfg, mesh, opt))
+
+    state, m0 = step(state, CAM, target_tiles, tile_mask)
+    losses = [float(m0["loss"])]
+    for _ in range(10):
+        state, m = step(state, CAM, target_tiles, tile_mask)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert all(jnp.isfinite(jnp.asarray(losses)))
