@@ -259,3 +259,174 @@ def render_reference_numpy(means, scales, quats_xyzw, colors_rgba, sh,
 
     return {"color": img.astype(np.float32),
             "alpha": acc_alpha.astype(np.float32)}
+
+
+def render_reference_numpy_2d(means, scales, quats_xyzw, colors_rgba, sh,
+                              view, proj, cam_pos, width, height,
+                              sh_degree=0, splat_scale=1.0,
+                              max_screen_space_splat_size=1024.0,
+                              sort_bits=16, min_alpha=1.0 / 255.0,
+                              background=(0.0, 0.0, 0.0)):
+    """2DGS surfel render — 1:1 port of SplatMaterial2D.js, sharing no code
+    with the package's ``render/surfel.py``.
+
+    Ported semantics, with citations (/root/reference/src/splatmesh/
+    SplatMaterial2D.js):
+
+    - ``T = transpose(splat2World) * world2ndc * ndc2pix`` with
+      ``world2ndc = transpose(P * MV)`` and L = R S columns 0/1   :94-127
+    - screen AABB: distance = T3.T3.(1,1,-1), f = tempPoint/distance,
+      pointImage, halfExtend = pointImage^2 - temp, extent =
+      sqrt(max(1e-4, .)), reject |distance| < 1e-5                :163-186
+    - quad half-extent = 3 * extent (``radius * 3.0``)            :187
+    - fragment: k = px*Tw - Tu, l = py*Tw - Tv, p = k x l, s = p.xy/p.z,
+      rho = min(rho3d, FilterInvSquare*|pix - center|^2), ray-plane
+      depth >= near_n = 0.2, alpha = min(0.99, opa * exp(-rho/2)),
+      discard below 1/255                                          :289-344
+    - clip cull at 1.2w (shared preamble, SplatMaterial.js:156-167) and
+      the same sorter.cpp distance-map draw order as the 3D oracle.
+
+    Two deliberate package-contract deviations (both documented in
+    ``render/surfel.py``): ndc2pix uses W/2 rather than (W-1)/2 so pixel
+    centers match the package's GL convention, and the support box is the
+    PER-AXIS 3-sigma extent (ceil-quantized to 1/16 px) rather than the
+    reference quad's square max-extent — the box is a hard cutoff contract
+    shared by every compositor path.
+    """
+    means = np.asarray(means, np.float64)
+    scales = np.asarray(scales, np.float64)
+    quats_xyzw = np.asarray(quats_xyzw, np.float64)
+    colors_rgba = np.asarray(colors_rgba, np.float64)
+    sh = np.asarray(sh, np.float64)
+    view = np.asarray(view, np.float64)
+    proj = np.asarray(proj, np.float64)
+    cam_pos = np.asarray(cam_pos, np.float64)
+    n = means.shape[0]
+
+    mv = view
+    m = proj @ mv
+
+    # clip cull (SplatMaterial.js:156-167)
+    clip = means @ m[:3, :3].T + m[:3, 3]
+    clip_w = means @ m[3, :3] + m[3, 3]
+    lim = 1.2 * clip_w
+    visible = ((clip[:, 2] >= -lim) & (clip[:, 0] >= -lim)
+               & (clip[:, 0] <= lim) & (clip[:, 1] >= -lim)
+               & (clip[:, 1] <= lim))
+
+    # SH color
+    dirs = means - cam_pos[None, :]
+    dirs /= np.maximum(np.linalg.norm(dirs, axis=1, keepdims=True), 1e-12)
+    rgb = _eval_sh(colors_rgba[:, :3], sh, dirs, sh_degree)
+    alpha_v = colors_rgba[:, 3].copy()
+    visible &= alpha_v >= min_alpha
+
+    # T rows: a0 = (L col0, 0), a1 = (L col1, 0), a2 = (center, 1)
+    rot = _quat_rot_xyzw(quats_xyzw)                    # [N, 3, 3]
+    l0 = rot[:, :, 0] * scales[:, 0:1]
+    l1 = rot[:, :, 1] * scales[:, 1:2]
+    ndc2pix = np.array([
+        [width / 2.0, 0.0, 0.0],
+        [0.0, height / 2.0, 0.0],
+        [0.0, 0.0, 0.0],
+        [width / 2.0, height / 2.0, 1.0]], np.float64)  # [4, 3]
+
+    def t_row(vec3, w_comp):
+        a = np.concatenate([vec3, np.full((n, 1), w_comp)], axis=1)  # [N,4]
+        row4 = a @ m.T                                   # (M @ a_i) [N, 4]
+        return row4 @ ndc2pix                            # [N, 3]
+
+    r0 = t_row(l0, 0.0)        # T row 0: (t00, t01, t02)
+    r1 = t_row(l1, 0.0)        # T row 1
+    r2 = t_row(means, 1.0)     # T row 2
+
+    # GLSL mat3 indexing is COLUMN-major: the shader's T0/T1/T3 (AABB) and
+    # Tu/Tv/Tw (fragment) are the COLUMNS of the mathematical T.
+    #   T0 = (t00, t10, t20), T1 = (t01, t11, t21), T3 = (t02, t12, t22)
+    col0 = np.stack([r0[:, 0], r1[:, 0], r2[:, 0]], axis=1)   # Tu / T0
+    col1 = np.stack([r0[:, 1], r1[:, 1], r2[:, 1]], axis=1)   # Tv / T1
+    col2 = np.stack([r0[:, 2], r1[:, 2], r2[:, 2]], axis=1)   # Tw / T3
+
+    # screen AABB (SplatMaterial2D.js:163-186): f = (1,1,-1)/distance
+    distance = col2[:, 0] ** 2 + col2[:, 1] ** 2 - col2[:, 2] ** 2
+    ok = np.abs(distance) >= 1e-5
+    inv = np.where(ok, 1.0 / np.where(ok, distance, 1.0), 0.0)
+    f0, f1, f2 = inv, inv, -inv
+    cx = f0 * col0[:, 0] * col2[:, 0] + f1 * col0[:, 1] * col2[:, 1] \
+        + f2 * col0[:, 2] * col2[:, 2]
+    cy = f0 * col1[:, 0] * col2[:, 0] + f1 * col1[:, 1] * col2[:, 1] \
+        + f2 * col1[:, 2] * col2[:, 2]
+    tmp_x = f0 * col0[:, 0] ** 2 + f1 * col0[:, 1] ** 2 \
+        + f2 * col0[:, 2] ** 2
+    tmp_y = f0 * col1[:, 0] ** 2 + f1 * col1[:, 1] ** 2 \
+        + f2 * col1[:, 2] ** 2
+    ext_x = np.sqrt(np.maximum(1e-4, cx * cx - tmp_x))
+    ext_y = np.sqrt(np.maximum(1e-4, cy * cy - tmp_y))
+    # package support-box contract: per-axis 3-sigma, 1/16-px ceil
+    rx = np.minimum(3.0 * ext_x * splat_scale, max_screen_space_splat_size)
+    ry = np.minimum(3.0 * ext_y * splat_scale, max_screen_space_splat_size)
+    rx = np.minimum(np.ceil(rx * 16.0) / 16.0, 4095.9375)
+    ry = np.minimum(np.ceil(ry * 16.0) / 16.0, 4095.9375)
+    visible &= ok
+
+    # sorter.cpp distance-map back-to-front order (same as the 3D oracle)
+    dist = means @ m[2, :3] + m[2, 3]
+    vis_idx = np.nonzero(visible)[0]
+    if vis_idx.size:
+        dv = dist[vis_idx]
+        dmin, dmax = dv.min(), dv.max()
+        nbuckets = (1 << sort_bits) - 1
+        buckets = ((dv - dmin) * (nbuckets / max(dmax - dmin, 1e-20))
+                   ).astype(np.int64)
+        buckets = np.clip(buckets, 0, nbuckets)
+        order = vis_idx[np.argsort(buckets, kind="stable")[::-1]]
+    else:
+        order = vis_idx
+
+    img = np.zeros((height, width, 3), np.float64)
+    img += np.asarray(background, np.float64)[None, None, :]
+    acc_alpha = np.zeros((height, width), np.float64)
+
+    for i in order:
+        if not (np.isfinite(rx[i]) and np.isfinite(ry[i])):
+            continue
+        x0 = max(int(np.floor(cx[i] - rx[i] - 0.5)), 0)
+        x1 = min(int(np.ceil(cx[i] + rx[i] - 0.5)), width - 1)
+        y0 = max(int(np.floor(cy[i] - ry[i] - 0.5)), 0)
+        y1 = min(int(np.ceil(cy[i] + ry[i] - 0.5)), height - 1)
+        if x1 < x0 or y1 < y0:
+            continue
+        xs = np.arange(x0, x1 + 1) + 0.5                 # [W']
+        ys = np.arange(y0, y1 + 1) + 0.5                 # [H']
+        px = xs[None, :]
+        py = ys[:, None]
+        tu, tv, tw = col0[i], col1[i], col2[i]           # GLSL Tu/Tv/Tw
+        k = [px * tw[c] - tu[c] for c in range(3)]
+        l_ = [py * tw[c] - tv[c] for c in range(3)]
+        p0 = k[1] * l_[2] - k[2] * l_[1]
+        p1 = k[2] * l_[0] - k[0] * l_[2]
+        p2 = k[0] * l_[1] - k[1] * l_[0]
+        tiny = np.abs(p2) < 1e-12
+        sp2 = np.where(tiny, 1e-12, p2)
+        su = p0 / sp2
+        sv = p1 / sp2
+        rho3d = su * su + sv * sv
+        dx = px - cx[i]
+        dy = py - cy[i]
+        rho2d = 2.0 * (dx * dx + dy * dy)                # FilterInvSquare=2
+        rho = np.minimum(rho3d, rho2d)
+        depth = np.where(rho3d <= rho2d, su * tw[0] + sv * tw[1] + tw[2],
+                         tw[2])
+        frag_a = np.minimum(alpha_v[i] * np.exp(-0.5 * rho), 0.99)
+        bad = (tiny | (depth < 0.2) | (frag_a < min_alpha)
+               | (np.abs(dx) > rx[i]) | (np.abs(dy) > ry[i]))
+        frag_a = np.where(bad, 0.0, frag_a)
+        rows = slice(height - 1 - y1, height - y0)
+        fa = frag_a[::-1, :, None]
+        img[rows, x0:x1 + 1] = fa * rgb[i][None, None, :] \
+            + (1.0 - fa) * img[rows, x0:x1 + 1]
+        acc_alpha[rows, x0:x1 + 1] = frag_a[::-1] \
+            + (1.0 - frag_a[::-1]) * acc_alpha[rows, x0:x1 + 1]
+
+    return {"color": img.astype(np.float32),
+            "alpha": acc_alpha.astype(np.float32)}
