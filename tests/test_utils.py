@@ -84,3 +84,29 @@ def test_checkpoint_roundtrip(tmp_path):
     s1, m1 = step(restored, cam, tiles, mask)
     s2, m2 = step(state, cam, tiles, mask)
     assert np.isclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-3)
+
+
+def test_psnr_ssim_metrics():
+    import jax
+    import jax.numpy as jnp
+    from gaussiansplats3d_tpu.utils.image_metrics import (
+        d_ssim_l1_loss, psnr, ssim)
+
+    key = jax.random.PRNGKey(0)
+    img = jax.random.uniform(key, (64, 48, 3))
+    # identical images: perfect scores
+    assert float(psnr(img, img)) > 100.0
+    assert abs(float(ssim(img, img)) - 1.0) < 1e-5
+    assert float(d_ssim_l1_loss(img, img)) < 1e-5
+    # known-MSE case: psnr = 10 log10(1/mse)
+    ref = img + 0.1
+    import numpy as np
+    assert abs(float(psnr(img, ref)) - 10 * np.log10(1 / 0.01)) < 1e-3
+    # noise hurts ssim monotonically
+    n1 = img + 0.05 * jax.random.normal(key, img.shape)
+    n2 = img + 0.20 * jax.random.normal(key, img.shape)
+    assert float(ssim(img, n1)) > float(ssim(img, n2))
+    # differentiable (usable as a training loss)
+    g = jax.grad(lambda x: d_ssim_l1_loss(x, jnp.zeros_like(x)))(img)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0.0
