@@ -59,8 +59,13 @@ RECORD_WIDTH = 16
 CHUNK = 128
 # Matches rasterize._LOG_T_FLOOR.
 _LOG_T_FLOOR = -80.0
-# Early-exit when max-pixel transmittance falls below exp(_LOG_EXIT) ~ 1/512.
-_LOG_EXIT = math.log(1.0 / 512.0)
+# Early-exit when every pixel's transmittance falls below exp(_LOG_EXIT) =
+# 1e-4 — the REFERENCE's own saturation cutoff (its fragment shader
+# discards at test_T < 0.0001, SplatMaterial2D.js:339; 3D splats saturate
+# the same way).  Keeping the same constant bounds the truncation error of
+# both the forward tail and the backward replay (which starts at exit_k)
+# to the reference's.
+_LOG_EXIT = math.log(1e-4)
 
 
 def pack_records(mean2d_s, conic_s, color_s, opacity_s, radius_s

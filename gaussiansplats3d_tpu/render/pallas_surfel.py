@@ -55,7 +55,8 @@ from .pallas_rasterize import (
 SURFEL_RECORD_WIDTH = 24
 _ALPHA_MAX = 0.99
 _NEAR_N = 0.2
-_LOG_EXIT = math.log(1.0 / 512.0)
+# reference saturation cutoff: test_T < 0.0001 (SplatMaterial2D.js:339)
+_LOG_EXIT = math.log(1e-4)
 
 
 def pack_surfel_records(recs: jnp.ndarray) -> jnp.ndarray:

@@ -2,7 +2,6 @@
 
 CI exercises the Pallas compositor only through interpret mode
 (tests/test_pallas.py); this tool runs the REAL kernels on the local TPU
-and asserts forward+backward numeric parity against the pure-JAX backend
 at a shape that exercises the risky kernel paths:
 
 - early exit (an opaque wall of splats drives transmittance under the
@@ -10,7 +9,23 @@ at a shape that exercises the risky kernel paths:
 - shared floor-aligned boundary chunks (tile ranges that straddle chunk
   boundaries, so adjacent grid steps read-modify-write the same gradient
   chunk through the aliased DMA pipeline);
-- the depth channel's 4-wide record layout.
+- the depth channel's 4-wide record layout;
+- the 2DGS surfel kernel (ray-plane fragment + hand-derived transpose),
+  with and without the depth channel.
+
+Two comparisons per case:
+
+1. **compiled vs interpret** (fwd images AND gradients, tight 1e-3): the
+   same Pallas program through Mosaic and through the interpreter has
+   IDENTICAL semantics (including the early-exit cutoff), so any
+   divergence is a compilation/hardware bug — exactly what CI can't see.
+2. **compiled vs the pure-JAX backend** (fwd images, 5e-3): a
+   semantics cross-check against the independent XLA compositor.  (Its
+   gradients composite the sub-1e-4-transmittance tail that both the
+   Pallas kernels and the reference shader cut off — fragment discard at
+   test_T < 0.0001, SplatMaterial2D.js:339 — so gradient comparison
+   against it is done by CI at scenes where the tail is negligible,
+   not here.)
 
 Usage:  python -m gaussiansplats3d_tpu.tools.tpu_parity
 Exits nonzero (with a diff report) on divergence.  This is the round gate
@@ -40,6 +55,32 @@ def build_scene():
     return dataclasses.replace(splats, scales=scales, colors=colors)
 
 
+class _InterpretPallas:
+    """Context manager: route pallas_call through the interpreter."""
+
+    def __enter__(self):
+        from jax.experimental import pallas as pl
+
+        from ..render import pallas_rasterize as pr
+        from ..render import pallas_surfel as ps
+
+        self._mods = (pr, ps)
+        self._orig = pl.pallas_call
+
+        def patched(*a, **k):
+            k["interpret"] = True
+            return self._orig(*a, **k)
+
+        for m in self._mods:
+            m.pl.pallas_call = patched
+        return self
+
+    def __exit__(self, *exc):
+        for m in self._mods:
+            m.pl.pallas_call = self._orig
+        return False
+
+
 def run(cfg_kwargs, label):
     splats = build_scene()
     cam = gs.Camera.look_at((2.2, 1.4, 2.2), (0, 0, 0), fov_y_deg=60,
@@ -56,29 +97,48 @@ def run(cfg_kwargs, label):
         return l
 
     outs, grads = {}, {}
-    for name, cfg in (("pallas", cfg_p), ("jax", cfg_j)):
-        outs[name] = jax.jit(lambda s, cfg=cfg: gs.render(s, cam, cfg))(splats)
-        grads[name] = jax.jit(jax.grad(lambda s, cfg=cfg: loss(s, cfg)))(splats)
-        jax.block_until_ready(grads[name].means)
+    outs["hw"] = jax.jit(lambda s: gs.render(s, cam, cfg_p))(splats)
+    grads["hw"] = jax.jit(jax.grad(lambda s: loss(s, cfg_p)))(splats)
+    jax.block_until_ready(grads["hw"].means)
+    # interpret mode lowers to plain JAX ops — run it jitted on the host
+    # CPU (eager interpret over the TPU tunnel would crawl)
+    with _InterpretPallas(), jax.default_device(jax.devices("cpu")[0]):
+        splats_c = jax.device_put(splats, jax.devices("cpu")[0])
+        outs["interp"] = jax.jit(
+            lambda s: gs.render(s, cam, cfg_p))(splats_c)
+        grads["interp"] = jax.jit(
+            jax.grad(lambda s: loss(s, cfg_p)))(splats_c)
+        jax.block_until_ready(grads["interp"].means)
+    outs["xla"] = jax.jit(lambda s: gs.render(s, cam, cfg_j))(splats)
+    jax.block_until_ready(outs["xla"]["color"])
 
+    channels = ("color", "alpha") + (
+        ("depth",) if cfg_p.return_depth else ())
     failures = []
-    for key in ("color", "alpha") + (("depth",) if cfg_p.return_depth else ()):
-        a = np.asarray(outs["pallas"][key])
-        b = np.asarray(outs["jax"][key])
-        err = np.abs(a - b).max()
-        print(f"[{label}] fwd {key:6s} max err {err:.3e}")
-        if err > 5e-3:
-            failures.append(f"{label}/fwd/{key}: {err:.3e}")
+    # 1. compiled vs interpret: identical semantics, tight bar
+    for key in channels:
+        err = np.abs(np.asarray(outs["hw"][key])
+                     - np.asarray(outs["interp"][key])).max()
+        print(f"[{label}] hw-vs-interp fwd {key:6s} max err {err:.3e}")
+        if err > 1e-3:
+            failures.append(f"{label}/hw-interp/fwd/{key}: {err:.3e}")
     for f in ("means", "scales", "quats", "colors", "sh"):
-        a = np.asarray(getattr(grads["pallas"], f))
-        b = np.asarray(getattr(grads["jax"], f))
+        a = np.asarray(getattr(grads["hw"], f))
+        b = np.asarray(getattr(grads["interp"], f))
         scale = max(np.abs(b).max(), 1e-10)
         rel = np.abs(a - b).max() / scale
-        print(f"[{label}] bwd {f:6s} max rel err {rel:.3e}")
+        print(f"[{label}] hw-vs-interp bwd {f:6s} max rel err {rel:.3e}")
         if not np.isfinite(a).all():
-            failures.append(f"{label}/bwd/{f}: non-finite")
-        if rel > 2e-2:
-            failures.append(f"{label}/bwd/{f}: rel {rel:.3e}")
+            failures.append(f"{label}/hw-interp/bwd/{f}: non-finite")
+        if rel > 1e-3:
+            failures.append(f"{label}/hw-interp/bwd/{f}: rel {rel:.3e}")
+    # 2. compiled vs the pure-JAX backend: forward semantics cross-check
+    for key in channels:
+        err = np.abs(np.asarray(outs["hw"][key])
+                     - np.asarray(outs["xla"][key])).max()
+        print(f"[{label}] hw-vs-xla    fwd {key:6s} max err {err:.3e}")
+        if err > 5e-3:
+            failures.append(f"{label}/hw-xla/fwd/{key}: {err:.3e}")
     return failures
 
 
@@ -90,6 +150,11 @@ def main():
         return 2
     failures = run({}, "rgb")
     failures += run({"return_depth": True}, "rgb+depth")
+    # 2DGS surfel kernel (pallas_surfel): ray-plane fragment + hand-derived
+    # transpose, with and without the 4-wide depth-channel layout.
+    failures += run({"render_mode_2d": True}, "2d")
+    failures += run({"render_mode_2d": True, "return_depth": True},
+                    "2d+depth")
     if failures:
         print("PARITY FAILURES:\n  " + "\n  ".join(failures))
         return 1
