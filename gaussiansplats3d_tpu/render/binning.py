@@ -41,8 +41,12 @@ import jax.numpy as jnp
 from ..core.types import RenderConfig
 from .projection import ProjectedSplats, quantize_depth
 
+import numpy as np
+
 SMALL_K = 2                     # small-splat rect side, in tiles
-_SENTINEL = jnp.int32(2147483647)
+# np scalar, not jnp: a module-level jnp constant would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize ordering.
+_SENTINEL = np.int32(2147483647)
 
 
 @jax.tree_util.register_dataclass

@@ -41,7 +41,6 @@ from .projection import quantize_depth
 
 _NEAR_N = 0.2
 _FILTER_INV_SQUARE = 2.0
-_RHO_CUTOFF = 2.0 * jnp.log(255.0 * 0.99)   # alpha cutoff in rho units
 
 
 def _surfel_alpha(chunk, px, py, min_alpha):
