@@ -46,8 +46,12 @@ def frames_per_s_8m():
     """Forward-only frames/s at 8M splats SH0 1080p (BASELINE.md metric 2:
     the reference README's headline '8M splat scenes' capability)."""
     n = 8_000_000
+    # record_precision='packed' is the view/serving mode (positions 1/16 px,
+    # conic f16, color f16): the same fidelity class as the reference's
+    # u8 color / f16 covariance data textures it renders 8M scenes with.
     cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=0,
-                          sort_bits=16, pair_multiplier=2.0)
+                          sort_bits=16, pair_multiplier=2.0,
+                          record_precision="packed")
     splats = _make_scene(n, 0)
     camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
                                fov_y_deg=60.0, aspect=WIDTH / HEIGHT)
@@ -67,7 +71,8 @@ def demo_16m():
     reference's headline scene size (/root/reference/README.md:48-53)."""
     n = 16_000_000
     cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=0,
-                          sort_bits=16, pair_multiplier=1.5)
+                          sort_bits=16, pair_multiplier=1.5,
+                          record_precision="packed")
     splats = _make_scene(n, 0)
     camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
                                fov_y_deg=60.0, aspect=WIDTH / HEIGHT)

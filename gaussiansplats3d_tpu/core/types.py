@@ -195,6 +195,18 @@ class RenderConfig:
     # the lanes.  <= 0 disables the aux path entirely, dropping (and
     # counting in ``overflow``) any beyond-lane pairs.
     aux_multiplier: float = 0.25
+    # Pair-record precision through the fused expand+sort (each packed pair
+    # removes one full value operand from the dominant sort):
+    #   'f32'    every field exact (finite-difference-grade gradients)
+    #   'mixed'  color/opacity as f16 pairs — still above the reference's
+    #            u8 color texels (SplatMesh color texture); geometry exact
+    #   'packed' geometry too: positions u16 fixed point (1/16 px up to
+    #            ~2K viewports, 1/8 px beyond), conic f16 — the
+    #            view/serving mode, comparable to the reference's
+    #            compressed .ksplat levels (f16 centers, u8 color);
+    #            measured ~50 dB PSNR vs 'f32' (tests/test_pipeline.py)
+    # Gradients are straight-through in all modes.
+    record_precision: str = "mixed"
     # Splats processed per compositing chunk (MXU-friendly multiple of 128).
     chunk_size: int = 128
 
@@ -208,6 +220,9 @@ class RenderConfig:
             raise ValueError("backend must be 'auto', 'pallas' or 'jax'")
         if self.lanes not in (1, 2, 4):
             raise ValueError("lanes must be 1, 2 or 4")
+        if self.record_precision not in ("f32", "mixed", "packed"):
+            raise ValueError(
+                "record_precision must be 'f32', 'mixed' or 'packed'")
 
     @property
     def tiles_x(self) -> int:

@@ -254,6 +254,8 @@ def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
 # keeping its ordering semantics (quantized-depth buckets, stable ties).
 
 _F16_SCALE = 16.0  # radius fixed-point: 1/16 px, exact in u16
+_PX_SCALE = 8.0    # packed-mode position fixed-point: 1/8 px
+_PX_OFFSET = 1024.0  # covers centers up to maxScreenSpaceSplatSize off-screen
 
 
 def _pack_f16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
@@ -271,6 +273,29 @@ def _unpack_f16_pair(packed: jnp.ndarray):
     lo = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16),
                                       jnp.float16)
     return hi.astype(jnp.float32), lo.astype(jnp.float32)
+
+
+def _px_scale_for(cfg: RenderConfig) -> float:
+    """Finest u16 fixed-point step covering the viewport plus a +-1024-px
+    off-screen-center margin: 1/16 px up to ~2K viewports, 1/8 px to ~6K."""
+    span = max(cfg.width, cfg.height) + 2.0 * _PX_OFFSET
+    return 16.0 if span * 16.0 <= 65536.0 else _PX_SCALE
+
+
+def _pack_px_pair(hi: jnp.ndarray, lo: jnp.ndarray, scale: float
+                  ) -> jnp.ndarray:
+    """Two pixel coordinates -> one int32 (u16 fixed point, +1024 offset)."""
+    def q(v):
+        return jnp.clip((v + _PX_OFFSET) * scale, 0.0, 65535.0).astype(
+            jnp.uint32)
+    return ((q(hi) << 16) | q(lo)).astype(jnp.int32)
+
+
+def _unpack_px_pair(packed: jnp.ndarray, scale: float):
+    u = packed.astype(jnp.uint32)
+    inv = 1.0 / scale
+    return ((u >> 16).astype(jnp.float32) * inv - _PX_OFFSET,
+            (u & 0xFFFF).astype(jnp.float32) * inv - _PX_OFFSET)
 
 
 def _pack_u16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
@@ -336,19 +361,30 @@ def slot_layout_for(cfg: RenderConfig, n: int):
     return lanes, aux, pad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
 def _expand_sort(cfg: RenderConfig, num_tiles: int, aux_cap: int,
-                 n_diff: int, tile_lo, depth_q, tx0, ty0, wt, ht, counts,
-                 *fields):
+                 n_diff: int, pack_plan, tile_lo, depth_q, tx0, ty0, wt, ht,
+                 counts, *fields):
     """Generic fused expand+sort over an arbitrary per-splat record.
 
     ``fields`` are [N] arrays riding the sort as value operands; the first
     ``n_diff`` are f32 and receive gradients (the rest — packed ints,
     hard-cutoff radii — are gradient-free plumbing).  Returns
     (sorted_field_0.., pair_valid, starts, counts, total, overflow).
+
+    ``pack_plan`` (static) maps logical fields onto PHYSICAL sort operands
+    — None rides every field as its own int32-bitcast operand; otherwise a
+    tuple of ``("raw", i)`` / ``("f16", i, j)`` / ``("px", i, j, scale)``
+    entries (f16: two half payloads; px: u16 fixed point at ``scale``
+    subpixels, ``_px_scale_for``), j = -1 for an unpaired half.  Each
+    dropped operand shaves a full value pass off the
+    sort; forward values are quantized but gradients flow STRAIGHT-THROUGH
+    exactly (the backward path is layout-independent — cotangents of the
+    logical fields ride the alignment sort unpacked).
     """
-    out, _ = _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo,
-                              depth_q, tx0, ty0, wt, ht, counts, *fields)
+    out, _ = _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, pack_plan,
+                              tile_lo, depth_q, tx0, ty0, wt, ht, counts,
+                              *fields)
     return out
 
 
@@ -384,9 +420,52 @@ def _lane_masks(cfg, counts, wt, ht):
     ]
 
 
-def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo, depth_q,
-                     tx0, ty0, wt, ht, counts, *fields):
+def _pack_fields(pack_plan, fields):
+    """Logical [N] fields -> physical int32 sort operands per the plan."""
+    if pack_plan is None:
+        pack_plan = tuple(("raw", i) for i in range(len(fields)))
+    phys = []
+    for spec in pack_plan:
+        kind, i = spec[0], spec[1]
+        if kind == "raw":
+            f = fields[i]
+            phys.append(f if f.dtype == jnp.int32
+                        else jax.lax.bitcast_convert_type(f, jnp.int32))
+            continue
+        j = spec[2]
+        lo = fields[j] if j >= 0 else jnp.zeros_like(fields[i])
+        if kind == "f16":
+            phys.append(_pack_f16_pair(fields[i], lo))
+        else:
+            phys.append(_pack_px_pair(fields[i], lo, spec[3]))
+    return pack_plan, phys
+
+
+def _unpack_fields(pack_plan, fields, sorted_phys):
+    """Sorted physical operands -> sorted logical fields (original order)."""
+    out = [None] * len(fields)
+    for spec, v in zip(pack_plan, sorted_phys):
+        kind, i = spec[0], spec[1]
+        if kind == "raw":
+            f = fields[i]
+            out[i] = (v if f.dtype == jnp.int32
+                      else jax.lax.bitcast_convert_type(v, f.dtype))
+            continue
+        j = spec[2]
+        if kind == "f16":
+            hi, lo = _unpack_f16_pair(v)
+        else:
+            hi, lo = _unpack_px_pair(v, spec[3])
+        out[i] = hi
+        if j >= 0:
+            out[j] = lo
+    return out
+
+
+def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, tile_lo,
+                     depth_q, tx0, ty0, wt, ht, counts, *fields):
     fields = list(fields)
+    pack_plan, phys = _pack_fields(pack_plan, fields)
     n = fields[0].shape[0]
     lanes = cfg.lanes
     pad = (-(lanes * n + aux_cap)) % cfg.chunk_size
@@ -443,12 +522,8 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo, depth_q,
         splat_of = big_c[ord_c]                           # [aux_cap]
         off_of = offs_c[ord_c]                            # [aux_cap]
 
-        def bc(f):
-            return f if f.dtype == jnp.int32 else \
-                jax.lax.bitcast_convert_type(f, jnp.int32)
         aux_tbl = jnp.stack(
-            [wt, tx0, ty0, depth_q] + [bc(f) for f in fields],
-            axis=1)                                       # [N, 4 + F]
+            [wt, tx0, ty0, depth_q] + phys, axis=1)       # [N, 4 + F]
         prow = aux_tbl[splat_of]                          # [aux_cap, 4 + F]
         rank = iota_aux - off_of
         bw = jnp.maximum(prow[:, 0], 1)
@@ -456,33 +531,26 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo, depth_q,
         tile_a = (prow[:, 2] + bdy) * tiles_x + (prow[:, 1] + bdx) - tile_lo
         valid_a = iota_aux < jnp.minimum(covered, aux_cap)
         depth_a = prow[:, 3]
-
-        def fc(col, like):
-            return col if like.dtype == jnp.int32 else \
-                jax.lax.bitcast_convert_type(col, jnp.float32)
-        aux_vals = [fc(prow[:, 4 + i], f) for i, f in enumerate(fields)]
+        aux_vals = [prow[:, 4 + i] for i in range(len(phys))]
         dropped = total_aux - jnp.minimum(covered, aux_cap)
     else:
         aux_vals = None
         big_c = counts_c = offs_c = None
         dropped = total_aux
 
-    def cat(i, field):
-        parts = [field] * lanes
-        if aux_cap > 0:
-            parts.append(aux_vals[i])
-        if pad:
-            parts.append(jnp.zeros((pad,), field.dtype))
+    def cat(i, op):
         # All value operands ride the sort as int32 BIT PATTERNS (a sort
         # only permutes values, so bitcasts round-trip exactly); all-integer
         # operand lists keep XLA:TPU on its fast sort path.
-        cated = jnp.concatenate(parts)
-        if cated.dtype != jnp.int32:
-            cated = jax.lax.bitcast_convert_type(cated, jnp.int32)
-        return cated
+        parts = [op] * lanes
+        if aux_cap > 0:
+            parts.append(aux_vals[i])
+        if pad:
+            parts.append(jnp.zeros((pad,), jnp.int32))
+        return jnp.concatenate(parts)
 
     slot = jnp.arange(s_total, dtype=jnp.int32)
-    ops = (slot,) + tuple(cat(i, f) for i, f in enumerate(fields))
+    ops = (slot,) + tuple(cat(i, op) for i, op in enumerate(phys))
 
     def cat_keys(lane_keys, aux_key, pad_key):
         parts = list(lane_keys)
@@ -525,10 +593,7 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo, depth_q,
         vals = sorted_ops[2:]
 
     sorted_slot = vals[0]
-    sorted_fields = [
-        v if f.dtype == jnp.int32
-        else jax.lax.bitcast_convert_type(v, f.dtype)
-        for v, f in zip(vals[1:], fields)]
+    sorted_fields = _unpack_fields(pack_plan, fields, vals[1:])
     pair_valid = sorted_tile < num_tiles
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -547,7 +612,9 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, tile_lo, depth_q,
     return out, residuals
 
 
-def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, residuals, cots):
+def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, residuals,
+                     cots):
+    del pack_plan   # packing is forward-only; gradients are straight-through
     sorted_slot, n, big_c, counts_c, offs_c = residuals
     n = int(n)
     lanes = cfg.lanes
@@ -635,8 +702,6 @@ def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
     ht = ty1 - ty0 + 1
 
     si = jax.lax.stop_gradient
-    # Color/opacity stay exact f32 operands (they carry training gradients;
-    # f16 would flatten finite differences and quantize learning signal).
     # The radius rides as u16 fixed point — it is a hard gradient-free
     # cutoff and projection already quantized it to 1/16 px.
     prr = _pack_u16_pair(si(proj.radius[:, 0]), si(proj.radius[:, 1]))
@@ -645,13 +710,34 @@ def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
         proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
         proj.opacity]
+    di = -1
     if cfg.return_depth:
         # depth rides as a 10th differentiable operand (culled splats carry
         # +inf depth — zero it so 0-weight slots can't produce inf * 0 NaNs
         # in the compositor's matmul).
+        di = len(diff_fields)
         diff_fields.append(jnp.where(proj.mask, proj.depth, 0.0))
+    ri = len(diff_fields)                     # prr (non-diff, already int32)
+    # Field -> sort-operand layout (each dropped operand is a full value
+    # pass off the sort; gradients are straight-through regardless):
+    #   f32:    everything exact (finite-difference-grade; grad-check tests)
+    #   mixed:  color/opacity as f16 pairs (12 -> 10 operands) — still above
+    #           the reference's fidelity, which stores color as u8 texels
+    #           (SplatMesh.js color texture) and covariance as f16
+    #   packed: geometry too — positions 1/8-px u16 fixed point, conic f16
+    #           (12 -> 8 operands) — the view/serving mode, comparable to
+    #           the reference's compressed .ksplat levels (f16 centers)
+    if cfg.record_precision == "f32":
+        plan = None
+    elif cfg.record_precision == "mixed":
+        plan = tuple(("raw", i) for i in range(5)) + (
+            ("f16", 5, 6), ("f16", 7, 8)) + (
+            (("raw", di),) if di >= 0 else ()) + (("raw", ri),)
+    else:   # "packed"
+        plan = (("px", 0, 1, _px_scale_for(cfg)), ("f16", 2, 3),
+                ("f16", 4, 8), ("f16", 5, 6), ("f16", 7, di), ("raw", ri))
     out = _expand_sort(
-        cfg, num_tiles, aux_capacity, len(diff_fields),
+        cfg, num_tiles, aux_capacity, len(diff_fields), plan,
         jnp.asarray(tile_lo, jnp.int32), depth_q,
         tx0, ty0, wt, ht, counts, *diff_fields, prr)
     nf = len(diff_fields) + 1

@@ -366,7 +366,17 @@ def bin_sort_surfels(sp: SurfelProjection, cfg: RenderConfig,
     fields = sp.t + (sp.mean2d[:, 0], sp.mean2d[:, 1],
                      *chan, sp.opacity, prr)
     n_diff = 12 + len(chan)           # t(9) + center2d(2) + chan + opacity
-    out = _expand_sort(cfg, num_tiles, aux_capacity, n_diff,
+    oi = 11 + len(chan)               # opacity field index
+    if cfg.record_precision == "f32":
+        plan = None
+    else:
+        # color/opacity ride as f16 pairs (same fidelity argument as the 3D
+        # path: the reference's color texture is u8); the homography columns
+        # stay exact — they define fragment geometry.
+        plan = tuple(("raw", i) for i in range(11)) + (
+            ("f16", 11, 12), ("f16", 13, oi)) + (
+            (("raw", 14),) if len(chan) == 4 else ()) + (("raw", oi + 1),)
+    out = _expand_sort(cfg, num_tiles, aux_capacity, n_diff, plan,
                        jnp.asarray(tile_lo, jnp.int32), depth_q,
                        tx0, ty0, wt, ht, counts, *fields)
     sorted_fields = out[:n_diff + 1]

@@ -100,8 +100,11 @@ def test_gradients_match_finite_differences_appearance():
     the min-alpha threshold, which we shrink to 1e-5 here.
     """
     splats = gs.random_splats(jax.random.PRNGKey(7), 80, sh_degree=1)
+    # record_precision f32: central differences need exact (unquantized)
+    # forward values — the default 'mixed' f16 color operands add O(2e-4)
+    # noise per splat that swamps a 5e-3 perturbation.
     cfg = gs.RenderConfig(width=48, height=48, sh_degree=1, sort_bits=20,
-                          min_alpha=1e-5)
+                          min_alpha=1e-5, record_precision="f32")
     cam = gs.Camera.look_at((2.0, 1.2, 2.4), (0.0, 0.0, 0.0), fov_y_deg=60.0)
     weights = jax.random.uniform(jax.random.PRNGKey(99), (48, 48, 3))
 
@@ -129,7 +132,7 @@ def test_gradients_match_finite_differences_geometry():
         scales=jnp.array([[0.16, 0.12, 0.14]]),
         colors=jnp.array([[0.7, 0.4, 0.3, 0.8]]))
     cfg = gs.RenderConfig(width=64, height=64, sh_degree=1, sort_bits=20,
-                          min_alpha=1e-5)
+                          min_alpha=1e-5, record_precision="f32")
     cam = gs.Camera.look_at((0.0, 0.3, 1.6), (0.0, 0.0, 0.0), fov_y_deg=60.0)
 
     yy, xx = jnp.meshgrid(jnp.arange(64) - 31.5, jnp.arange(64) - 31.5,

@@ -162,3 +162,40 @@ def test_depth_channel_gradients():
     g = jax.grad(loss)(splats)
     assert bool(jnp.all(jnp.isfinite(g.means)))
     assert float(jnp.max(jnp.abs(g.means))) > 0.0
+
+
+@pytest.mark.parametrize("return_depth", [False, True])
+def test_record_precision_modes(return_depth):
+    """'mixed' (default) and 'packed' quantize sort operands, not semantics.
+
+    mixed packs color/opacity as f16 pairs (error ~2.5e-4 — above the
+    reference's u8 color texels); packed also quantizes positions to 1/8 px
+    and conic to f16 (the view/serving mode).  Both must stay close to the
+    exact f32 render, and gradients stay straight-through (finite, nonzero).
+    """
+    splats = make_scene(500, sh_degree=1, seed=9)
+    cam = make_camera(aspect=128 / 96)
+    base = dict(width=128, height=96, sh_degree=1, sort_bits=20,
+                background=(0.1, 0.2, 0.3), return_depth=return_depth)
+    exact = gs.render(splats, cam,
+                      gs.RenderConfig(record_precision="f32", **base))
+    mixed = gs.render(splats, cam,
+                      gs.RenderConfig(record_precision="mixed", **base))
+    packed = gs.render(splats, cam,
+                       gs.RenderConfig(record_precision="packed", **base))
+    assert jnp.max(jnp.abs(mixed["color"] - exact["color"])) < 2e-3
+    assert jnp.max(jnp.abs(mixed["alpha"] - exact["alpha"])) < 2e-3
+    # packed moves centers by up to 1/32 px and conic by 5e-4 relative:
+    # tiny-splat edge pixels shift, so gate perceptually (PSNR) plus the
+    # mean; measured ~50 dB / mean ~1e-3 on this scene.
+    dc = jnp.abs(packed["color"] - exact["color"])
+    psnr = -10.0 * jnp.log10(jnp.mean(dc ** 2) + 1e-12)
+    assert float(psnr) > 45.0, float(psnr)
+    assert float(jnp.mean(dc)) < 2e-3
+
+    cfgp = gs.RenderConfig(record_precision="packed", **base)
+    g = jax.grad(lambda s: jnp.mean(gs.render(s, cam, cfgp)["color"] ** 2))(
+        splats)
+    assert bool(jnp.all(jnp.isfinite(g.means)))
+    assert float(jnp.max(jnp.abs(g.means))) > 0.0
+    assert float(jnp.max(jnp.abs(g.colors))) > 0.0

@@ -84,7 +84,11 @@ def test_tiled_matches_global_surfel_path():
 
     splats = gs.random_splats(jax.random.PRNGKey(11), 600, sh_degree=1)
     cam = gs.Camera.look_at((2.2, 1.4, 2.4), (0, 0, 0))
-    cfg = gs.RenderConfig(width=96, height=64, sh_degree=1, sort_bits=20)
+    # f32 records: this asserts TILING equivalence at 1e-4 — the global
+    # path doesn't go through the record sort, so the default 'mixed' f16
+    # color operands would show up as (expected) 2.5e-4 quantization.
+    cfg = gs.RenderConfig(width=96, height=64, sh_degree=1, sort_bits=20,
+                          record_precision="f32")
     a = render_2d(splats, cam, cfg)
     b = render_2d_tiled(splats, cam, cfg, return_aux=True)
     assert int(b["overflow"]) == 0
@@ -117,7 +121,9 @@ def test_tiled_surfel_multi_scene():
     opac = jnp.asarray([1.0, 0.5], jnp.float32)
     vis = jnp.asarray([True, True])
     cam = gs.Camera.look_at((2.2, 1.4, 2.4), (0, 0, 0))
-    cfg = gs.RenderConfig(width=64, height=64, sort_bits=20)
+    # f32 records: tiling equivalence at 1e-4 (see note above).
+    cfg = gs.RenderConfig(width=64, height=64, sort_bits=20,
+                          record_precision="f32")
     ra = render_2d(splats, cam, cfg, tfs, idx, opac, vis)
     rb = render_2d_tiled(splats, cam, cfg, tfs, idx, opac, vis)
     assert float(jnp.max(jnp.abs(ra["color"] - rb["color"]))) < 1e-4
