@@ -24,11 +24,14 @@ backward kernel replays exactly the same prefix in reverse, reconstructing
 chunk-entry transmittance by subtracting log-space sums (exact — no
 divide-by-(1-alpha) drift), and emits per-pair gradients.
 
-Record packing — a [capacity // C, 16, C] f32 array (the capacity is a
+Record packing — a FIELD-MAJOR [16, capacity] f32 array (the capacity is a
 CHUNK multiple; tile ranges start anywhere and the kernel reads
-floor-aligned chunks, masking each tile's [start, start + count) window),
-so each chunk is ONE contiguous, fully tile-aligned 8 KiB DMA indexed by
-leading chunk id.
+floor-aligned chunks, masking each tile's [start, start + count) window).
+Each chunk is ONE [16, C] strided DMA (two (8, 128) register tiles) at a
+128-aligned minor offset — Mosaic-legal, and the layout is exactly the
+`jnp.stack` of the sort's output operands: no [16, S] -> [S/C, 16, C]
+relayout pass over the whole record set per frame (at 2M splats that
+transpose re-materialized ~300 MB).
 Row layout (within a chunk, each row is [1, C] across splats):
 
     row  0-1   mean2d (x, y)
@@ -70,7 +73,8 @@ _LOG_EXIT = math.log(1e-4)
 
 def pack_records(mean2d_s, conic_s, color_s, opacity_s, radius_s
                  ) -> jnp.ndarray:
-    """Pack [cap]-long pair-record arrays into the [cap // C, 16, C] layout.
+    """Pack [cap]-long pair-record arrays into the [16, cap] field-major
+    layout.
 
     The capacity must be a CHUNK multiple (binning's slot layout pads to
     one, slot_layout_for)."""
@@ -83,15 +87,15 @@ def pack_records(mean2d_s, conic_s, color_s, opacity_s, radius_s
         opacity_s,
         radius_s[:, 0], radius_s[:, 1],
     ], axis=0)                                       # [11, cap]
-    rec = jnp.concatenate(
+    return jnp.concatenate(
         [rec, jnp.zeros((RECORD_WIDTH - 11, cap), jnp.float32)], axis=0)
-    return rec.reshape(RECORD_WIDTH, cap // CHUNK, CHUNK).transpose(1, 0, 2)
 
 
 def pack_records_flat(xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, rxs, rys,
                       depths=None) -> jnp.ndarray:
     """Pack flat [cap] record field arrays (binning.SortedPairs layout)
-    into the [cap // C, 16, C] chunk layout the kernels consume.
+    into the field-major [16, cap] layout the kernels consume (one stack,
+    no relayout — the kernel DMAs [16, C] chunk windows).
 
     With ``depths`` (cfg.return_depth) the channel block grows to 4 rows —
     [r, g, b, depth] at rows 5-8 — shifting opacity/radius to rows 9-11,
@@ -104,10 +108,9 @@ def pack_records_flat(xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, rxs, rys,
         rows.append(depths)
     rows += [opas, rxs, rys]
     rec = jnp.stack(rows, axis=0)                    # [11 or 12, cap]
-    rec = jnp.concatenate(
+    return jnp.concatenate(
         [rec, jnp.zeros((RECORD_WIDTH - len(rows), cap), jnp.float32)],
         axis=0)
-    return rec.reshape(RECORD_WIDTH, cap // CHUNK, CHUNK).transpose(1, 0, 2)
 
 
 def _pixel_coords(tile_id, cfg: RenderConfig):
@@ -217,7 +220,8 @@ def composite_tiles(cfg: RenderConfig, capacity: int,
     """Pallas tile compositor.
 
     Args:
-      records: [capacity // C, 16, C] packed pair records (pack_records).
+      records: [16, capacity] field-major packed pair records
+        (pack_records / pack_records_flat).
       tile_starts / tile_counts: [T] pair-list ranges per tile; every start
         need NOT be CHUNK-aligned: the kernel reads floor-aligned chunks
         and masks each tile's [start, start + count) window.
@@ -252,8 +256,8 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
         def dma_for(k):
             slot = jax.lax.rem(k, 2)
             return pltpu.make_async_copy(
-                rec_hbm.at[start_chunk + k], chunk_vmem.at[slot],
-                sem.at[slot])
+                rec_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
+                chunk_vmem.at[slot], sem.at[slot])
 
         @pl.when(num_chunks > 0)
         def _():
@@ -353,19 +357,20 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         def dma_for(k):
             slot = jax.lax.rem(k, 2)
             return pltpu.make_async_copy(
-                rec_hbm.at[start_chunk + k], chunk_vmem.at[slot],
-                sem.at[slot])
+                rec_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
+                chunk_vmem.at[slot], sem.at[slot])
 
         def grad_read_for(k):
             slot = jax.lax.rem(k, 2)
             return pltpu.make_async_copy(
-                grad_hbm.at[start_chunk + k], gin_vmem.at[slot],
-                gsem.at[slot])
+                grad_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
+                gin_vmem.at[slot], gsem.at[slot])
 
         def grad_write_for(k):
             slot = jax.lax.rem(k, 2)
             return pltpu.make_async_copy(
-                gout_vmem.at[slot], grad_hbm.at[start_chunk + k],
+                gout_vmem.at[slot],
+                grad_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
                 wsem.at[slot])
 
         # Replay starts at the forward's exit chunk: chunks beyond it never

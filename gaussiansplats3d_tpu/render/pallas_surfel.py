@@ -15,7 +15,8 @@ Everything is pixels-on-sublanes x splats-on-lanes ([P, C] blocks); the
 fragment chain and its hand-derived transpose are pure VPU elementwise ops
 plus [1, C] row reductions — no MXU except the color accumulation.
 
-Record packing — [capacity // C, 24, C] f32 (24 rows = 3 sublane tiles):
+Record packing — field-major [24, capacity] f32 (each [24, C] chunk window
+is three (8, 128) register tiles, DMA'd at 128-aligned minor offsets):
 
     row  0-8      T row-major (t00 t01 t02 | t10 ... t22); Tu/Tv/Tw are the
                   COLUMNS: Tu = (r0, r3, r6), Tv = (r1, r4, r7), Tw = (r2, r5, r8)
@@ -61,15 +62,13 @@ _LOG_EXIT = math.log(1e-4)
 
 def pack_surfel_records(recs: jnp.ndarray) -> jnp.ndarray:
     """[cap, 17 or 18] record table (rasterize_surfel layout)
-    -> [cap//C, 24, C]."""
+    -> field-major [24, cap] (the kernel DMAs [24, C] chunk windows)."""
     cap = recs.shape[0]
     assert cap % CHUNK == 0, cap
     rec = recs.T                                      # [17, cap]
-    rec = jnp.concatenate(
+    return jnp.concatenate(
         [rec, jnp.zeros((SURFEL_RECORD_WIDTH - rec.shape[0], cap),
                         jnp.float32)], axis=0)
-    return rec.reshape(SURFEL_RECORD_WIDTH, cap // CHUNK,
-                       CHUNK).transpose(1, 0, 2)
 
 
 def _surfel_chunk_alpha(rec, px, py, window, min_alpha, nc=3):
@@ -118,7 +117,7 @@ def composite_surfel_tiles_pallas(cfg: RenderConfig, capacity: int,
                                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pallas surfel compositor.
 
-    records: [capacity // C, 24, C] (pack_surfel_records).
+    records: [24, capacity] field-major (pack_surfel_records).
     Returns (tile_colors [T, P, NC], tile_logtrans [T, P]) — NC is 3, or 4
     with cfg.return_depth (channel 3 = alpha-weighted depth sum).
     """
@@ -144,8 +143,8 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
         def dma_for(k):
             slot = jax.lax.rem(k, 2)
             return pltpu.make_async_copy(
-                rec_hbm.at[start_chunk + k], chunk_vmem.at[slot],
-                sem.at[slot])
+                rec_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
+                chunk_vmem.at[slot], sem.at[slot])
 
         @pl.when(num_chunks > 0)
         def _():
@@ -241,19 +240,20 @@ def _bwd(cfg, capacity, residuals, cotangents):
         def dma_for(k):
             slot = jax.lax.rem(k, 2)
             return pltpu.make_async_copy(
-                rec_hbm.at[start_chunk + k], chunk_vmem.at[slot],
-                sem.at[slot])
+                rec_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
+                chunk_vmem.at[slot], sem.at[slot])
 
         def grad_read_for(k):
             slot = jax.lax.rem(k, 2)
             return pltpu.make_async_copy(
-                grad_hbm.at[start_chunk + k], gin_vmem.at[slot],
-                gsem.at[slot])
+                grad_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
+                gin_vmem.at[slot], gsem.at[slot])
 
         def grad_write_for(k):
             slot = jax.lax.rem(k, 2)
             return pltpu.make_async_copy(
-                gout_vmem.at[slot], grad_hbm.at[start_chunk + k],
+                gout_vmem.at[slot],
+                grad_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
                 wsem.at[slot])
 
         @pl.when(k_exit > 0)

@@ -80,10 +80,9 @@ def composite_pairs(cfg: RenderConfig, capacity: int, rec,
     Returns (tile_colors [T, P, 3], tile_logtrans [T, P]).
     """
     if resolve_backend(cfg) == "pallas":
-        from .pallas_rasterize import CHUNK, composite_tiles
-        records3 = rec.reshape(-1, CHUNK, rec.shape[1]).transpose(0, 2, 1)
+        from .pallas_rasterize import composite_tiles
         tile_ids = jnp.arange(num_tiles, dtype=jnp.int32) + tile_base
-        return composite_tiles(cfg, capacity, records3,
+        return composite_tiles(cfg, capacity, rec.T,
                                tile_starts, tile_counts, tile_ids)
     return rasterize_pairs(cfg, capacity, rec[:, 0:2], rec[:, 2:5],
                            rec[:, 5:8], rec[:, 8], rec[:, 9:11],
