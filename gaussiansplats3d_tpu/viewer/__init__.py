@@ -11,6 +11,12 @@ from .enums import (  # noqa: F401
     SceneRevealMode,
     SplatRenderMode,
 )
+from .helpers import (  # noqa: F401
+    apply_overlay,
+    composite_with_depth,
+    focus_marker_overlay,
+    project_to_screen,
+)
 from .orbit import OrbitCamera  # noqa: F401
 from .raycaster import Hit, Ray, Raycaster  # noqa: F401
 from .scene import SplatScene  # noqa: F401

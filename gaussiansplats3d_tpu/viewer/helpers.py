@@ -1,0 +1,110 @@
+"""Scene-composition helpers: depth compositing + focus-marker overlay.
+
+The TPU-functional analogue of the reference's SceneHelper
+(/root/reference/src/SceneHelper.js):
+
+- The reference renders splats into an offscreen target, then draws a
+  full-screen quad that alpha-blends the splat color while writing the
+  splat depth to ``gl_FragDepth`` (SceneHelper.js:38-91,
+  ``setupRenderTargetCopyObjects``) so ordinary depth-tested meshes
+  composite correctly with the splat scene.  :func:`composite_with_depth`
+  is the same operation as a pure image-space function over the render's
+  ``color``/``alpha``/``depth`` channels (``RenderConfig.return_depth``).
+- The reference's focus marker is a camera-facing anti-aliased ring drawn
+  at the raycast hit on double-click (SceneHelper.js:146-197 +
+  ``buildFocusMarkerMaterial`` :355-430: radius 0.06 * viewport height,
+  line width 0.0005 * h, ~5 px alpha falloff, animated opacity).
+  :func:`focus_marker_overlay` reproduces the fragment math;
+  :func:`apply_overlay` blends it (the marker renders with depth test
+  off, exactly like the reference's material).
+
+The editing-only chrome (control plane, arrow helper, debug spheres,
+SceneHelper.js:199-281) is browser-DOM tooling with no render-pipeline
+role and is intentionally out of scope.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.types import Camera
+
+
+def composite_with_depth(splat_out: dict, other_color: jnp.ndarray,
+                         other_depth: jnp.ndarray) -> dict:
+    """Depth-composite a splat render with other (opaque) 3D content.
+
+    Per pixel, mirrors the reference's render order (SceneHelper.js:38-91:
+    splat quad writes its depth, later meshes depth-test against it):
+    where the other content is closer than the splat surface it occludes
+    the splats; otherwise the splat scene alpha-blends OVER it.
+
+    Args:
+      splat_out: dict from ``render(..., cfg.return_depth=True)`` —
+        ``color`` [H, W, 3], ``alpha`` [H, W], ``depth`` [H, W]
+        (0 where no splat was hit).
+      other_color: [H, W, 3] opaque content color.
+      other_depth: [H, W] its depth in the same units as ``depth``
+        (+inf where empty).
+
+    Returns dict with merged ``color`` [H, W, 3] and ``depth`` [H, W]
+    (the nearer of the two surfaces per pixel) for further chaining.
+    """
+    s_color = splat_out["color"]
+    s_alpha = splat_out["alpha"]
+    s_depth = splat_out["depth"]
+    hit = s_alpha > 1e-6
+    s_d = jnp.where(hit, s_depth, jnp.inf)
+    splat_in_front = hit & (s_d <= other_depth)
+    a = s_alpha[..., None]
+    over = s_color + (1.0 - a) * other_color     # color is premultiplied
+    color = jnp.where(splat_in_front[..., None], over, other_color)
+    depth = jnp.minimum(s_d, other_depth)
+    return {"color": color, "depth": depth}
+
+
+def project_to_screen(camera: Camera, position, width: int, height: int):
+    """World position -> raster pixel coordinates (x right, y DOWN, centers
+    at +0.5 — matching ``assemble_image``'s row flip) plus clip w."""
+    p = jnp.asarray(position, jnp.float32)
+    vh = camera.view @ jnp.concatenate([p, jnp.ones((1,), jnp.float32)])
+    ch = camera.proj @ vh
+    w = ch[3]
+    ndc = ch[:2] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    x = (ndc[0] * 0.5 + 0.5) * width
+    y = (1.0 - (ndc[1] * 0.5 + 0.5)) * height
+    return jnp.stack([x, y]), w
+
+
+def focus_marker_overlay(camera: Camera, position, width: int, height: int,
+                         opacity: float = 1.0,
+                         color=(1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """RGBA overlay [H, W, 4] with the reference's focus-marker ring.
+
+    Fragment math from SceneHelper.buildFocusMarkerMaterial
+    (SceneHelper.js:387-413): ring radius ``0.06 * h`` px, line width
+    ``0.0005 * h``, alpha = 1 - clamp((|r - radius| - lw) / 5, 0, 1),
+    scaled by the animated ``opacity`` uniform.  Behind-camera positions
+    produce a fully transparent overlay.
+    """
+    center, w = project_to_screen(camera, position, width, height)
+    yy, xx = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32) + 0.5,
+                          jnp.arange(width, dtype=jnp.float32) + 0.5,
+                          indexing="ij")
+    r = jnp.sqrt((xx - center[0]) ** 2 + (yy - center[1]) ** 2)
+    radius = 0.06 * height
+    line_width = 0.0005 * height
+    rad_diff = jnp.abs(r - radius) - line_width
+    alpha = 1.0 - jnp.clip(rad_diff / 5.0, 0.0, 1.0)
+    alpha = alpha * jnp.float32(opacity) * (w > 0.0)
+    rgb = jnp.broadcast_to(jnp.asarray(color, jnp.float32),
+                           (height, width, 3))
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
+def apply_overlay(color_img: jnp.ndarray, overlay_rgba: jnp.ndarray
+                  ) -> jnp.ndarray:
+    """Alpha-blend an RGBA overlay over a color image (depth test off,
+    like the reference's marker material)."""
+    a = overlay_rgba[..., 3:4]
+    return overlay_rgba[..., :3] * a + color_img * (1.0 - a)
