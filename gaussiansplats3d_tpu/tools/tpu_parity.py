@@ -150,6 +150,10 @@ def main():
         return 2
     failures = run({}, "rgb")
     failures += run({"return_depth": True}, "rgb+depth")
+    # packed record precision: the u16/f16 sort-operand packing must decode
+    # identically through Mosaic and the interpreter (bitcast/shift chains
+    # are exactly where compilation bugs would bite).
+    failures += run({"record_precision": "packed"}, "rgb+packed")
     # 2DGS surfel kernel (pallas_surfel): ray-plane fragment + hand-derived
     # transpose, with and without the 4-wide depth-channel layout.
     failures += run({"render_mode_2d": True}, "2d")

@@ -15,6 +15,7 @@ from .helpers import (  # noqa: F401
     apply_overlay,
     composite_with_depth,
     focus_marker_overlay,
+    mesh_cursor_overlay,
     project_to_screen,
 )
 from .orbit import OrbitCamera  # noqa: F401

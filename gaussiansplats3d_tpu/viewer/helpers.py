@@ -108,3 +108,52 @@ def apply_overlay(color_img: jnp.ndarray, overlay_rgba: jnp.ndarray
     like the reference's marker material)."""
     a = overlay_rgba[..., 3:4]
     return overlay_rgba[..., :3] * a + color_img * (1.0 - a)
+
+
+_CURSOR_WORLD_SCALE = 0.1   # SceneHelper.js:114 meshCursor.scale
+
+
+def mesh_cursor_overlay(camera: Camera, position, width: int, height: int,
+                        color=(1.0, 1.0, 1.0)) -> jnp.ndarray:
+    """RGBA overlay with the reference's mesh cursor at a raycast hit.
+
+    The reference's cursor is four inward-pointing cones around the hit,
+    always facing the camera, at fixed world scale 0.1
+    (SceneHelper.js:93-145 ``setupMeshCursor`` /
+    ``positionAndOrientMeshCursor``).  Camera-facing at constant world
+    size means it reads as a flat screen-space glyph whose pixel size
+    tracks the projected world scale — which is exactly how it is drawn
+    here: four inward triangles at the projected hit, sized by projecting
+    the 0.1-world-unit cursor extent.  Behind-camera hits are transparent.
+    """
+    center, w = project_to_screen(camera, position, width, height)
+    # projected pixel size of the cursor's ~0.175-world-unit arm reach
+    # (cone tip at 1.75 * scale from center along each axis)
+    p = jnp.asarray(position, jnp.float32)
+    right = jnp.linalg.inv(camera.view)[:3, 0]
+    edge, _ = project_to_screen(camera, p + right * (_CURSOR_WORLD_SCALE
+                                                     * 1.75),
+                                width, height)
+    r = jnp.maximum(jnp.linalg.norm(edge - center), 2.0)
+
+    yy, xx = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32) + 0.5,
+                          jnp.arange(width, dtype=jnp.float32) + 0.5,
+                          indexing="ij")
+    dx = xx - center[0]
+    dy = yy - center[1]
+
+    def arrow(u, v):
+        """Inward triangle along unit direction (u, v): tip at 0.25 r,
+        base at r, half-width r / 3."""
+        along = dx * u + dy * v            # distance toward the base
+        across = jnp.abs(dx * -v + dy * u)
+        frac = (along - 0.25 * r) / (0.75 * r)
+        return ((frac >= 0.0) & (frac <= 1.0)
+                & (across <= frac * (r / 3.0)))
+
+    inside = (arrow(1.0, 0.0) | arrow(-1.0, 0.0)
+              | arrow(0.0, 1.0) | arrow(0.0, -1.0))
+    alpha = inside.astype(jnp.float32) * (w > 0.0)
+    rgb = jnp.broadcast_to(jnp.asarray(color, jnp.float32),
+                           (height, width, 3))
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)

@@ -112,3 +112,26 @@ def test_apply_overlay_blend():
                           jnp.full((4, 4, 1), 0.5)], axis=-1)
     out = apply_overlay(img, ov)
     assert float(jnp.max(jnp.abs(out - 0.4))) < 1e-6
+
+
+def test_mesh_cursor_overlay():
+    from gaussiansplats3d_tpu.viewer.helpers import mesh_cursor_overlay
+
+    cam = gs.Camera.look_at((0.0, 0.0, 3.0), (0, 0, 0), fov_y_deg=60.0)
+    ov = np.asarray(mesh_cursor_overlay(cam, (0.0, 0.0, 0.0), 200, 200))
+    alpha = ov[..., 3]
+    assert alpha.max() == 1.0
+    # four-fold symmetric arrows around the center, tips pointing inward:
+    # the exact center is empty (tips start at 0.25 r)
+    assert alpha[100, 100] == 0.0
+    # arms present on all four sides
+    c = 100
+    ys, xs = np.nonzero(alpha)
+    assert (xs > c).any() and (xs < c).any()
+    assert (ys > c).any() and (ys < c).any()
+    # symmetric under 90-degree rotation (square image, centered hit)
+    assert np.allclose(alpha, np.rot90(alpha), atol=1e-6)
+
+    # behind the camera: transparent
+    ov2 = np.asarray(mesh_cursor_overlay(cam, (0.0, 0.0, 99.0), 200, 200))
+    assert ov2[..., 3].max() == 0.0
