@@ -136,4 +136,4 @@ def make_train_step(cfg: RenderConfig, mesh, optimizer,
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
-    return step
+    return jax.jit(step)
