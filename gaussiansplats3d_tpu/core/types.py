@@ -148,6 +148,7 @@ class RenderConfig:
       - ``sort_bits``                <- splatSortDistanceMapPrecision
       - ``render_mode_2d``           <- SplatRenderMode.TwoD
       - ``orthographic``             <- camera.isOrthographicCamera
+      - ``focal_adjustment``         <- focalAdjustment
     plus TPU-side knobs (tile size, pair capacity, chunking).
     """
 
@@ -161,6 +162,11 @@ class RenderConfig:
     point_cloud_mode: bool = False
     render_mode_2d: bool = False
     orthographic: bool = False
+    # Focal-length multiplier for splat screen extents (reference
+    # focalAdjustment, Viewer.js:208 + SplatMesh.updateUniforms): scales the
+    # EWA Jacobian's focal, so splat footprints grow/shrink without moving
+    # projected centers — the reference's sharpness knob for stereo/VR.
+    focal_adjustment: float = 1.0
     sort_bits: int = DEFAULT_SORT_BITS
     min_alpha: float = 1.0 / 255.0
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)

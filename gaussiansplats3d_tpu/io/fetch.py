@@ -30,12 +30,17 @@ class AbortedError(RuntimeError):
 def fetch_with_progress(path_or_url: str,
                         on_progress: Optional[ProgressFn] = None,
                         abort_event: Optional[threading.Event] = None,
-                        chunk_size: int = PROGRESSIVE_LOAD_SECTION_SIZE
-                        ) -> bytes:
-    """Fetch a URL or read a file, streaming progress callbacks."""
+                        chunk_size: int = PROGRESSIVE_LOAD_SECTION_SIZE,
+                        headers: Optional[dict] = None) -> bytes:
+    """Fetch a URL or read a file, streaming progress callbacks.
+
+    ``headers``: extra HTTP request headers, like the reference's per-scene
+    ``headers`` option (Viewer.js options.headers -> fetchWithProgress).
+    """
     is_url = "://" in path_or_url
     if is_url:
-        stream = urllib.request.urlopen(path_or_url)
+        req = urllib.request.Request(path_or_url, headers=headers or {})
+        stream = urllib.request.urlopen(req)
         total = stream.headers.get("Content-Length")
         total = int(total) if total else None
     else:

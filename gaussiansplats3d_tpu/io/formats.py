@@ -29,19 +29,26 @@ def scene_format_from_path(path: str) -> SceneFormat:
 
 
 def load(path: str, sh_degree: int | None = None,
-         on_progress=None, abort_event=None) -> SplatData:
+         on_progress=None, abort_event=None,
+         format: "SceneFormat | None" = None,
+         headers: dict | None = None) -> SplatData:
     """Load any supported scene file or URL into SplatData.
 
     ``sh_degree`` optionally truncates higher-order SH at load time (the
     reference's outSphericalHarmonicsDegree parameter).  ``on_progress`` /
     ``abort_event`` stream download progress (io.fetch.fetch_with_progress,
     the fetchWithProgress parity surface) — used for URLs and large files.
+    ``format`` overrides extension sniffing and ``headers`` adds HTTP
+    request headers, like the reference's per-scene ``format``/``headers``
+    options (Viewer.js addSplatScene options).
     """
     base = path.split("?")[0] if "://" in path else path
-    fmt = scene_format_from_path(base)
-    if "://" in path or on_progress is not None or abort_event is not None:
+    fmt = format if format is not None else scene_format_from_path(base)
+    if ("://" in path or on_progress is not None or abort_event is not None
+            or headers is not None):
         from .fetch import fetch_with_progress
-        data_bytes = fetch_with_progress(path, on_progress, abort_event)
+        data_bytes = fetch_with_progress(path, on_progress, abort_event,
+                                         headers=headers)
         if fmt == SceneFormat.Ply:
             from .ply import parse_ply
             return parse_ply(data_bytes, sh_degree)

@@ -165,7 +165,7 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
     """
     n = splats.num_splats
     w, h = cfg.width, cfg.height
-    focal = derive_focal(camera.proj, w, h)
+    focal = derive_focal(camera.proj, w, h) * cfg.focal_adjustment
 
     # NOTE on shapes: everything downstream stays in flat [N]/[N, 3]
     # vectors.  XLA pads small trailing dims ([N, 3, 3], [N, 4, 4]) to full

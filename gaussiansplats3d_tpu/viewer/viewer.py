@@ -56,7 +56,9 @@ class Viewer:
                  use_orthographic_camera: bool = False,
                  ortho_half_height: float = 2.0,
                  scene_reveal_mode: SceneRevealMode = SceneRevealMode.Default,
-                 scene_fade_in_rate_multiplier: float = 1.0):
+                 scene_fade_in_rate_multiplier: float = 1.0,
+                 focal_adjustment: float = 1.0,
+                 log_level=None):
         self.config = RenderConfig(
             width=width, height=height,
             sh_degree=max_spherical_harmonics_degree,
@@ -70,7 +72,11 @@ class Viewer:
             sort_bits=splat_sort_distance_map_precision,
             background=tuple(background),
             backend=backend,
+            focal_adjustment=focal_adjustment,
         )
+        if log_level is not None:
+            from ..utils.logging import set_log_level
+            set_log_level(log_level)
         self.render_mode = render_mode
         self.camera = OrbitCamera(
             position=initial_camera_position, target=initial_camera_lookat,
@@ -103,11 +109,20 @@ class Viewer:
                         opacity: float = 1.0,
                         visible: bool = True,
                         splat_alpha_removal_threshold: int = 1,
-                        sh_degree: Optional[int] = None) -> SplatScene:
+                        sh_degree: Optional[int] = None,
+                        format=None,
+                        headers: Optional[dict] = None,
+                        on_progress=None,
+                        optimize_splat_data: bool = False) -> SplatScene:
         """Add a scene from a file path, SplatData, or SplatScene.
 
         splat_alpha_removal_threshold: u8 opacity cutoff applied at load,
         like the reference's per-scene option (Viewer.js:714-735).
+        ``format`` (a SceneFormat) overrides extension sniffing, ``headers``
+        adds HTTP request headers, ``on_progress`` streams download progress,
+        and ``optimize_splat_data`` reorders splats for locality
+        (io.optimize, the reference's optimizeSplatData pipeline) — all
+        per-scene options of the reference's addSplatScene.
         """
         self._check_disposed()
         if len(self._scenes) >= MAX_SCENES:
@@ -120,9 +135,18 @@ class Viewer:
                 splats = gio.load(
                     source,
                     sh_degree if sh_degree is not None
-                    else self.config.sh_degree)
+                    else self.config.sh_degree,
+                    on_progress=on_progress, format=format, headers=headers)
             else:
                 splats = source
+            if optimize_splat_data:
+                from ..io.optimize import optimize_splat_data as _opt
+                from ..core.types import SplatData as _SD
+                sections = _opt(
+                    splats,
+                    alpha_removal_threshold=splat_alpha_removal_threshold)
+                splats = (sections[0] if len(sections) == 1
+                          else _SD.concatenate(sections))
             if splat_alpha_removal_threshold > 1:
                 keep = np.asarray(splats.colors[:, 3]) * 255.0 \
                     >= splat_alpha_removal_threshold

@@ -189,3 +189,49 @@ def test_splat_tree():
     exact = set(np.nonzero(((means >= lo) & (means <= hi)).all(1))[0]
                 .tolist())
     assert exact <= got
+
+
+def test_focal_adjustment_scales_footprint_not_centers():
+    """focalAdjustment (Viewer.js:208): splat screen extents scale, the
+    projected centers do not move."""
+    from gaussiansplats3d_tpu.render.projection import project_splats
+
+    splats = small_scene(64)
+    cam = OrbitCamera(position=(2.2, 1.4, 2.4), target=(0, 0, 0),
+                      fov_y_deg=60.0, aspect=1.0).camera()
+    base = gs.RenderConfig(width=64, height=64, sh_degree=0)
+    wide = gs.RenderConfig(width=64, height=64, sh_degree=0,
+                           focal_adjustment=2.0)
+    p0 = project_splats(splats, cam, base)
+    p1 = project_splats(splats, cam, wide)
+    assert jnp.max(jnp.abs(p0.mean2d - p1.mean2d)) < 1e-5
+    # 2x focal -> 4x cov2d -> ~2x support radius for visible splats
+    vis = np.asarray(p0.radius > 0)
+    r0, r1 = np.asarray(p0.radius)[vis], np.asarray(p1.radius)[vis]
+    unclamped = r0 < base.max_screen_space_splat_size / 2
+    assert np.all(r1[unclamped] >= r0[unclamped])
+
+
+def test_add_splat_scene_format_override_and_optimize(tmp_path):
+    from gaussiansplats3d_tpu.io import SceneFormat, save_splat
+
+    # a .splat payload under a misleading extension: format= must win
+    path = tmp_path / "scene.bin.splat"
+    splats = small_scene(100)
+    save_splat(splats, str(path))
+    odd = tmp_path / "scene.dat"
+    odd.write_bytes(path.read_bytes())
+
+    v = make_viewer()
+    scene = v.add_splat_scene(str(odd), format=SceneFormat.Splat,
+                              optimize_splat_data=True)
+    assert scene.num_splats == 100
+    out = v.render()
+    assert np.isfinite(np.asarray(out["color"])).all()
+
+
+def test_viewer_log_level_smoke():
+    from gaussiansplats3d_tpu.viewer.enums import LogLevel
+
+    make_viewer(log_level=LogLevel.WARNING)
+    make_viewer(log_level=LogLevel.NONE)
