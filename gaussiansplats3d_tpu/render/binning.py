@@ -298,6 +298,25 @@ def _unpack_px_pair(packed: jnp.ndarray, scale: float):
             (u & 0xFFFF).astype(jnp.float32) * inv - _PX_OFFSET)
 
 
+def _pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 -> one int32 carrying two round-to-nearest bf16 payloads.
+
+    bf16 keeps f32's exponent range — safe for gradient magnitudes (f16
+    would flush small cotangents to zero)."""
+    def q(v):
+        u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        u = u + 0x7FFF + ((u >> 16) & 1)          # round to nearest even
+        return u >> 16
+    return ((q(hi) << 16) | q(lo)).astype(jnp.int32)
+
+
+def _unpack_bf16_pair(packed: jnp.ndarray):
+    u = packed.astype(jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(u & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    return hi, lo
+
+
 def _pack_u16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     """Two non-negative f32 (1/16-px fixed point) -> one int32."""
     h = (hi * _F16_SCALE).astype(jnp.uint32)
@@ -628,12 +647,36 @@ def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, residuals,
     # slices and aux gradients a segment-reduce over the COMPACT big-splat
     # table, scattered back to the [N] owners with 1-wide adds.  Cotangents
     # ride as int32 bit patterns (same fast-sort-path trick as forward).
-    aligned = jax.lax.sort(
-        tuple([sorted_slot]
-              + [jax.lax.bitcast_convert_type(g, jnp.int32)
-                 for g in g_fields]),
-        dimension=0, num_keys=1, is_stable=True)[1:]
-    aligned = [jax.lax.bitcast_convert_type(g, jnp.float32) for g in aligned]
+    # Under mixed/packed record precision, cotangent PAIRS ride as bf16
+    # payloads in one int32 each (9 -> 5 value passes off the dominant
+    # alignment sort; bf16 keeps f32's exponent range so no gradient
+    # magnitude is flushed, and the ~2^-8 relative rounding is of the
+    # same fidelity class as the forward's own f16 record packing).
+    if cfg.record_precision == "f32":
+        raw_count = n_diff           # everything exact
+    else:
+        raw_count = 2                # mean2d cotangents stay exact: they are
+        #                              the densification signal and the bf16
+        #                              rounding measurably degrades them
+    ops, pairs_plan = [], []
+    for a in range(raw_count):
+        ops.append(jax.lax.bitcast_convert_type(g_fields[a], jnp.int32))
+    for a in range(raw_count, n_diff - 1, 2):
+        ops.append(_pack_bf16_pair(g_fields[a], g_fields[a + 1]))
+        pairs_plan.append((a, a + 1))
+    if (n_diff - raw_count) % 2:
+        ops.append(jax.lax.bitcast_convert_type(g_fields[-1], jnp.int32))
+    aligned_raw = jax.lax.sort(
+        tuple([sorted_slot] + ops), dimension=0, num_keys=1,
+        is_stable=True)[1:]
+    aligned = [None] * n_diff
+    for a in range(raw_count):
+        aligned[a] = jax.lax.bitcast_convert_type(aligned_raw[a], jnp.float32)
+    for (a, b), v in zip(pairs_plan, aligned_raw[raw_count:]):
+        aligned[a], aligned[b] = _unpack_bf16_pair(v)
+    if (n_diff - raw_count) % 2:
+        aligned[-1] = jax.lax.bitcast_convert_type(aligned_raw[-1],
+                                                   jnp.float32)
 
     def to_splat(g):
         acc = g[:n]

@@ -10,9 +10,17 @@ blocks, P = tile_size^2, C = 128) so that no transposes or relayouts appear
 anywhere in the inner loop:
 
     alpha [P, C] = opacity * exp(-0.5 G)             (VPU)
-    excl  [P, C] = log1p(-alpha) @ upper_tri         (MXU prefix-scan)
-    col   [P, 3] += (alpha * exp(excl + logT)) @ rgb (MXU)
-    logT  [P, 1] += sum_lanes log1p(-alpha)
+    excl  [P, C] = exclusive cumprod of (1 - alpha)  (VPU roll-scan)
+    col   [P, 3] += (alpha * excl * T) @ rgb         (MXU)
+    T     [P, 1] *= prod_lanes (1 - alpha)
+
+The forward tracks transmittance as a straight f32 PRODUCT (one exp per
+pair-pixel total) rather than in log space: log1p + exp per pair-pixel
+were ~1/3 of the forward kernel's VPU work, and the f32 cumprod's
+reassociation error (~1 ulp per factor) is far below the compositor's
+4e-3 parity tolerance.  The backward replay stays in log space, where
+chunk-entry transmittance reconstruction is an exact subtraction (a
+product-space replay would divide by per-chunk products that underflow).
 
 This is the TPU replacement for the reference's fragment pipeline
 (/root/reference/src/splatmesh/SplatMaterial3D.js:234-252: per-fragment
@@ -62,13 +70,14 @@ RECORD_WIDTH = 16
 CHUNK = 128
 # Matches rasterize._LOG_T_FLOOR.
 _LOG_T_FLOOR = -80.0
-# Early-exit when every pixel's transmittance falls below exp(_LOG_EXIT) =
-# 1e-4 — the REFERENCE's own saturation cutoff (its fragment shader
-# discards at test_T < 0.0001, SplatMaterial2D.js:339; 3D splats saturate
-# the same way).  Keeping the same constant bounds the truncation error of
-# both the forward tail and the backward replay (which starts at exit_k)
-# to the reference's.
-_LOG_EXIT = math.log(1e-4)
+_T_FLOOR = math.exp(_LOG_T_FLOOR)
+# Early-exit when every pixel's transmittance falls below 1e-4 — the
+# REFERENCE's own saturation cutoff (its fragment shader discards at
+# test_T < 0.0001, SplatMaterial2D.js:339; 3D splats saturate the same
+# way).  Keeping the same constant bounds the truncation error of both
+# the forward tail and the backward replay (which starts at exit_k) to
+# the reference's.
+_EXIT_T = 1e-4
 
 
 def pack_records(mean2d_s, conic_s, color_s, opacity_s, radius_s
@@ -174,6 +183,24 @@ def _prefix_sum_lanes(x):
     return acc
 
 
+def _excl_prefix_prod_lanes(x):
+    """EXCLUSIVE prefix product along lanes (axis 1) of a [P, C] block.
+
+    Same log-step roll structure as :func:`_prefix_sum_lanes` with multiply;
+    the final roll-by-one turns the inclusive scan exclusive (lane 0 = 1).
+    Returns (exclusive_prod [P, C], chunk_prod [P, 1])."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    acc = x
+    shift = 1
+    while shift < CHUNK:
+        rolled = pltpu.roll(acc, shift, axis=1)
+        acc = acc * jnp.where(lane >= shift, rolled, 1.0)
+        shift *= 2
+    total = acc[:, CHUNK - 1:CHUNK]
+    excl = jnp.where(lane >= 1, pltpu.roll(acc, 1, axis=1), 1.0)
+    return excl, total
+
+
 def _suffix_sum_lanes(x):
     """INCLUSIVE suffix sum along lanes (axis 1) of a [P, C] block."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
@@ -264,7 +291,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
             dma_for(jnp.int32(0)).start()
 
         def body(state):
-            k, col, logt = state
+            k, col, t = state
             # Prefetch next chunk into the other slot, then consume this one.
             @pl.when(k + 1 < num_chunks)
             def _():
@@ -274,30 +301,27 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
             alpha, _, _, _ = _chunk_alpha_block(rec, px, py, window,
                                                 cfg.min_alpha, nc)
-            logw = jnp.log1p(-alpha)                  # [P, C]
-            incl = _prefix_sum_lanes(logw)
-            excl = incl - logw                        # [P, C] excl. prefix
-            w = alpha * jnp.exp(excl + logt)          # [P, C]
+            excl, cprod = _excl_prefix_prod_lanes(1.0 - alpha)
+            w = alpha * (excl * t)                    # [P, C]
             col = col + _mm_nt(w, rec[5:5 + nc, :])   # [P, NC]
-            logt = jnp.maximum(
-                logt + incl[:, CHUNK - 1:CHUNK], _LOG_T_FLOOR)
-            return k + 1, col, logt
+            t = jnp.maximum(t * cprod, _T_FLOOR)
+            return k + 1, col, t
 
         def cond(state):
-            k, _, logt = state
-            return (k < num_chunks) & (jnp.max(logt) > _LOG_EXIT)
+            k, _, t = state
+            return (k < num_chunks) & (jnp.max(t) > _EXIT_T)
 
-        k_end, col, logt = jax.lax.while_loop(
+        k_end, col, t = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0), jnp.zeros((p, nc), jnp.float32),
-             jnp.zeros((p, 1), jnp.float32)))
+             jnp.ones((p, 1), jnp.float32)))
         # Drain the prefetch issued for the chunk after the exit point so
         # the semaphore is clean for the next grid step.
         @pl.when(k_end < num_chunks)
         def _():
             dma_for(k_end).wait()
         colors_out[0] = col
-        logt_out[0] = logt
+        logt_out[0] = jnp.log(t)
         exit_k_out[i] = k_end
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -410,7 +434,11 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             cg = _mm(gcol_t, rec[5:5 + nc, :])         # [P, C]
             d_chan = _mm_tn(gcol_t, w)                 # [NC, C]
             u = w * cg
-            suffix = _suffix_sum_lanes(u) - u + sg     # [P, C]
+            # Exclusive suffix sum as an MXU matmul with a strict-lower
+            # triangular 0/1 matrix: the roll-scan's ~21 VPU ops per
+            # pair-pixel move to the otherwise-idle MXU (gradient-grade
+            # precision: the 6-pass f32 matmul is ~1e-7 relative).
+            suffix = _mm(u, _tri(False)) + sg          # [P, C]
 
             one_minus = jnp.maximum(1.0 - alpha, 1e-6)
             d_alpha = t_i * cg - suffix / one_minus - glogt_t / one_minus
@@ -422,8 +450,12 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
             maskc = window.astype(jnp.float32) * active  # [1, C]
 
+            ones_p = jnp.ones((1, p), jnp.float32)
+
             def rowsum(x):
-                return jnp.sum(x, axis=0, keepdims=True)   # [1, C]
+                # [P, C] -> [1, C] pixel reduction on the MXU (a ones-vector
+                # matmul) instead of ~P/8 VPU sublane adds per call.
+                return _mm(ones_p, x)
 
             gr = jnp.concatenate([
                 rowsum(d_quad * (-2.0) * (ca * dx + cb * dy)) * maskc,

@@ -1,8 +1,9 @@
 """On-chip Pallas compositor for 2DGS surfels.
 
 Same kernel architecture as `pallas_rasterize` (one grid step per tile,
-double-buffered chunk DMA, log-space transmittance, early exit, exact
-reverse replay with aliased read-modify-write gradient accumulation) with
+double-buffered chunk DMA, product-space forward transmittance with a
+log-space backward replay, early exit, exact reverse replay with aliased
+read-modify-write gradient accumulation) with
 the 3D Gaussian fragment swapped for the reference's 2D ray-plane
 intersection (/root/reference/src/splatmesh/SplatMaterial2D.js:289-344):
 
@@ -32,7 +33,6 @@ is three (8, 128) register tiles, DMA'd at 128-aligned minor offsets):
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax
@@ -43,13 +43,14 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.types import RenderConfig
 from .pallas_rasterize import (
     CHUNK,
-    _LOG_T_FLOOR,
+    _T_FLOOR,
+    _excl_prefix_prod_lanes,
     _mm,
     _mm_nt,
     _mm_tn,
     _pixel_coords,
     _prefix_sum_lanes,
-    _suffix_sum_lanes,
+    _tri,
     _window_mask,
 )
 
@@ -57,7 +58,7 @@ SURFEL_RECORD_WIDTH = 24
 _ALPHA_MAX = 0.99
 _NEAR_N = 0.2
 # reference saturation cutoff: test_T < 0.0001 (SplatMaterial2D.js:339)
-_LOG_EXIT = math.log(1e-4)
+_EXIT_T = 1e-4
 
 
 def pack_surfel_records(recs: jnp.ndarray) -> jnp.ndarray:
@@ -151,7 +152,7 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
             dma_for(jnp.int32(0)).start()
 
         def body(state):
-            k, col, logt = state
+            k, col, t = state
             @pl.when(k + 1 < num_chunks)
             def _():
                 dma_for(k + 1).start()
@@ -160,28 +161,27 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
             alpha = _surfel_chunk_alpha(rec, px, py, window,
                                         cfg.min_alpha, nc)[0]
-            logw = jnp.log1p(-alpha)
-            incl = _prefix_sum_lanes(logw)
-            excl = incl - logw
-            w = alpha * jnp.exp(excl + logt)
+            # product-space transmittance (see pallas_rasterize: one exp per
+            # pair-pixel total; the backward replay stays in log space)
+            excl, cprod = _excl_prefix_prod_lanes(1.0 - alpha)
+            w = alpha * (excl * t)
             col = col + _mm_nt(w, rec[11:11 + nc, :])
-            logt = jnp.maximum(
-                logt + incl[:, CHUNK - 1:CHUNK], _LOG_T_FLOOR)
-            return k + 1, col, logt
+            t = jnp.maximum(t * cprod, _T_FLOOR)
+            return k + 1, col, t
 
         def cond(state):
-            k, _, logt = state
-            return (k < num_chunks) & (jnp.max(logt) > _LOG_EXIT)
+            k, _, t = state
+            return (k < num_chunks) & (jnp.max(t) > _EXIT_T)
 
-        k_end, col, logt = jax.lax.while_loop(
+        k_end, col, t = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0), jnp.zeros((p, nc), jnp.float32),
-             jnp.zeros((p, 1), jnp.float32)))
+             jnp.ones((p, 1), jnp.float32)))
         @pl.when(k_end < num_chunks)
         def _():
             dma_for(k_end).wait()
         colors_out[0] = col
-        logt_out[0] = logt
+        logt_out[0] = jnp.log(t)
         exit_k_out[i] = k_end
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -288,7 +288,8 @@ def _bwd(cfg, capacity, residuals, cotangents):
             cg = _mm(gcol_t, rec[11:11 + nc, :])        # [P, C]
             d_chan = _mm_tn(gcol_t, w)                  # [NC, C]
             u = w * cg
-            suffix = _suffix_sum_lanes(u) - u + sg
+            # exclusive suffix sum on the MXU (see pallas_rasterize._composite_bwd)
+            suffix = _mm(u, _tri(False)) + sg
 
             one_minus = jnp.maximum(1.0 - alpha, 1e-6)
             d_alpha = t_i * cg - suffix / one_minus - glogt_t / one_minus
@@ -321,8 +322,11 @@ def _bwd(cfg, capacity, residuals, cotangents):
             # k_i = px Tw_i - Tu_i ; l_i = py Tw_i - Tv_i
             maskc = window.astype(jnp.float32)          # [1, C]
 
+            ones_p = jnp.ones((1, p), jnp.float32)
+
             def rowsum(x):
-                return jnp.sum(x, axis=0, keepdims=True)
+                # pixel reduction on the MXU (see pallas_rasterize)
+                return _mm(ones_p, x)
 
             rows = [
                 -rowsum(d_k0) * maskc,                          # t00 (Tu0)
