@@ -166,28 +166,11 @@ def _chunk_alpha_block(rec, px, py, window, min_alpha, nc=3):
     return alpha, dx, dy, g
 
 
-def _prefix_sum_lanes(x):
-    """INCLUSIVE prefix sum along lanes (axis 1) of a [P, C] block.
-
-    Log-step shift-add (exact f32, unlike an MXU triangular matmul whose
-    bf16-decomposed accumulation loses ~8 mantissa bits — visibly wrong
-    once amplified through exp()).
-    """
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    acc = x
-    shift = 1
-    while shift < CHUNK:
-        rolled = pltpu.roll(acc, shift, axis=1)
-        acc = acc + jnp.where(lane >= shift, rolled, 0.0)
-        shift *= 2
-    return acc
-
-
 def _excl_prefix_prod_lanes(x):
     """EXCLUSIVE prefix product along lanes (axis 1) of a [P, C] block.
 
-    Same log-step roll structure as :func:`_prefix_sum_lanes` with multiply;
-    the final roll-by-one turns the inclusive scan exclusive (lane 0 = 1).
+    Log-step roll-multiply scan (exact-ish f32: ~1 ulp per factor); the
+    final roll-by-one turns the inclusive scan exclusive (lane 0 = 1).
     Returns (exclusive_prod [P, C], chunk_prod [P, 1])."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     acc = x
@@ -199,18 +182,6 @@ def _excl_prefix_prod_lanes(x):
     total = acc[:, CHUNK - 1:CHUNK]
     excl = jnp.where(lane >= 1, pltpu.roll(acc, 1, axis=1), 1.0)
     return excl, total
-
-
-def _suffix_sum_lanes(x):
-    """INCLUSIVE suffix sum along lanes (axis 1) of a [P, C] block."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    acc = x
-    shift = 1
-    while shift < CHUNK:
-        rolled = pltpu.roll(acc, CHUNK - shift, axis=1)  # circular -shift
-        acc = acc + jnp.where(lane < CHUNK - shift, rolled, 0.0)
-        shift *= 2
-    return acc
 
 
 def _tri(strict_upper: bool):
@@ -378,6 +349,24 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         gcol_t = gcol_blk[0]                          # [P, NC]
         glogt_t = glogt_blk[0]                        # [P, 1]
 
+        # TILE-LOCAL pixel-moment basis (1, x, y, x^2, xy, y^2): every
+        # spatial gradient row is a polynomial moment of d_quad in pixel
+        # coordinates, so ONE [6, P] @ [P, C] MXU matmul replaces five
+        # [P, C]-wide rowsum integrands (the bulk of the backward VPU
+        # work).  Local coordinates keep the basis tile-independent and
+        # bound the de-centering cancellation to ~(radius/dx)^2 * 1e-7.
+        ts = cfg.tile_size
+        pid_l = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+        pxl = jnp.mod(pid_l, ts).astype(jnp.float32) + 0.5   # [1, P]
+        pyl = (pid_l // ts).astype(jnp.float32) + 0.5
+        basis = jnp.concatenate([
+            jnp.ones((1, p), jnp.float32), pxl, pyl,
+            pxl * pxl, pxl * pyl, pyl * pyl], axis=0)        # [6, P]
+        tx = (ids_ref[i] % cfg.tiles_x).astype(jnp.float32)
+        ty = (ids_ref[i] // cfg.tiles_x).astype(jnp.float32)
+        ox = tx * float(ts)                                  # tile origin
+        oy = ty * float(ts)
+
         def dma_for(k):
             slot = jax.lax.rem(k, 2)
             return pltpu.make_async_copy(
@@ -421,13 +410,15 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             dma_for(k).wait()
             rec = chunk_vmem[jax.lax.rem(k, 2)]
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
-            alpha, dx, dy, g = _chunk_alpha_block(rec, px, py, window,
-                                                  cfg.min_alpha, nc)
+            alpha, _, _, _ = _chunk_alpha_block(rec, px, py, window,
+                                                cfg.min_alpha, nc)
             logw = jnp.log1p(-alpha)                   # [P, C]
-            incl = _prefix_sum_lanes(logw)
-            chunk_sum = incl[:, CHUNK - 1:CHUNK]
+            # Exclusive prefix sum on the MXU (strict-upper triangular 0/1
+            # matmul; gradient-grade precision, ~1e-7 relative at HIGHEST).
+            excl = _mm(logw, _tri(True))               # [P, C]
+            chunk_sum = (excl[:, CHUNK - 1:CHUNK]
+                         + logw[:, CHUNK - 1:CHUNK])
             logt_before = logt_after - active * chunk_sum
-            excl = incl - logw
             t_i = jnp.exp(excl + logt_before)          # [P, C]
             w = alpha * t_i
 
@@ -445,26 +436,39 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             gate = (alpha > 0.0) & (alpha < ALPHA_CLAMP)
             d_alpha = jnp.where(gate, d_alpha, 0.0)
 
-            d_opa_frag = d_alpha * jnp.exp(-0.5 * g)
-            d_quad = d_alpha * (-0.5 * alpha)
+            d_quad = d_alpha * (-0.5 * alpha)          # [P, C]
             ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
+            mxl = rec[0:1, :] - ox                     # tile-local mean
+            myl = rec[1:2, :] - oy
+            opa = rec[5 + nc:6 + nc, :]
             maskc = window.astype(jnp.float32) * active  # [1, C]
 
-            ones_p = jnp.ones((1, p), jnp.float32)
-
-            def rowsum(x):
-                # [P, C] -> [1, C] pixel reduction on the MXU (a ones-vector
-                # matmul) instead of ~P/8 VPU sublane adds per call.
-                return _mm(ones_p, x)
+            # All spatial gradient rows from the moment matmul: with
+            # S* = sum_p d_quad * basis_p, the centered moments give
+            #   E[dx^a dy^b] = sum_p d_quad (px-mx)^a (py-my)^b
+            # and d_opa = -2 S0 / opa (since d_alpha*alpha = -2 d_quad and
+            # d(alpha)/d(opa) = alpha/opa wherever the gate is open).
+            mom = _mm(basis, d_quad)                   # [6, C]
+            s0, sx, sy = mom[0:1, :], mom[1:2, :], mom[2:3, :]
+            sxx, sxy, syy = mom[3:4, :], mom[4:5, :], mom[5:6, :]
+            ex = sx - mxl * s0                         # E[dx]
+            ey = sy - myl * s0                         # E[dy]
+            exx = sxx - mxl * (sx + ex)                # E[dx^2]
+            exy = sxy - mxl * sy - myl * ex            # E[dx dy]
+            eyy = syy - myl * (sy + ey)                # E[dy^2]
+            d_mx = -2.0 * (ca * ex + cb * ey)
+            d_my = -2.0 * (cb * ex + cc * ey)
+            d_opa = jnp.where(opa > 0.0, -2.0 * s0 / jnp.maximum(opa, 1e-12),
+                              0.0)
 
             gr = jnp.concatenate([
-                rowsum(d_quad * (-2.0) * (ca * dx + cb * dy)) * maskc,
-                rowsum(d_quad * (-2.0) * (cb * dx + cc * dy)) * maskc,
-                rowsum(d_quad * dx * dx) * maskc,
-                rowsum(d_quad * 2.0 * dx * dy) * maskc,
-                rowsum(d_quad * dy * dy) * maskc,
+                d_mx * maskc,
+                d_my * maskc,
+                exx * maskc,
+                2.0 * exy * maskc,
+                eyy * maskc,
                 d_chan * maskc,
-                rowsum(d_opa_frag) * maskc,
+                d_opa * maskc,
                 jnp.zeros((RECORD_WIDTH - 6 - nc, CHUNK), jnp.float32),
             ], axis=0)                                      # [16, C]
             # Pipelined read-modify-write accumulation: adjacent tiles
@@ -529,7 +533,10 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(records.shape, jnp.float32),
         input_output_aliases={8: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # Headroom over Mosaic's default 16 MB scoped-vmem budget (see the
+        # matching note in pallas_surfel._bwd; v5e VMEM is 128 MB).
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024),
     )(tile_starts, tile_counts, tile_ids, exit_k,
       records, logt_fin[:, :, None], gcol, glogt[:, :, None], grad_init)
     return grad_records, None, None, None

@@ -49,7 +49,6 @@ from .pallas_rasterize import (
     _mm_nt,
     _mm_tn,
     _pixel_coords,
-    _prefix_sum_lanes,
     _tri,
     _window_mask,
 )
@@ -278,10 +277,11 @@ def _bwd(cfg, capacity, residuals, cotangents):
              use3d) = _surfel_chunk_alpha(rec, px, py, window,
                                           cfg.min_alpha, nc)
             logw = jnp.log1p(-alpha)
-            incl = _prefix_sum_lanes(logw)
-            chunk_sum = incl[:, CHUNK - 1:CHUNK]
+            # exclusive prefix sum on the MXU (see _composite_bwd)
+            excl = _mm(logw, _tri(True))
+            chunk_sum = (excl[:, CHUNK - 1:CHUNK]
+                         + logw[:, CHUNK - 1:CHUNK])
             logt_before = logt_after - chunk_sum
-            excl = incl - logw
             t_i = jnp.exp(excl + logt_before)
             w = alpha * t_i
 
@@ -396,7 +396,12 @@ def _bwd(cfg, capacity, residuals, cotangents):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(records.shape, jnp.float32),
         input_output_aliases={8: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # The 24-row surfel gradient body peaks just past Mosaic's default
+        # 16 MB scoped-vmem budget on hardware (v5e VMEM is 128 MB; the
+        # forward fits).  Interpret-mode CI cannot see this — the on-TPU
+        # parity gate (tools/tpu_parity.py) is what catches it.
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024),
     )(tile_starts, tile_counts, tile_ids, exit_k,
       records, logt_fin[:, :, None], gcol, glogt[:, :, None], grad_init)
     return grad_records, None, None, None

@@ -179,14 +179,20 @@ def assemble_image(tile_colors: jnp.ndarray, tile_logtrans: jnp.ndarray,
     trans = jnp.exp(tile_logtrans)
 
     def to_image(tiles, ch):
-        img = tiles.reshape(ty, tx, ts, ts, ch)
-        img = img.transpose(0, 2, 1, 3, 4).reshape(ty * ts, tx * ts, ch)
+        # Keep the channel dim FUSED with the tile-row dim through the
+        # transpose: a [.., ts, ts, ch] transpose leaves ch (3/1) as the
+        # minor dim, which XLA lane-pads to 128 on TPU (up to 42x relayout
+        # traffic); [.., ts, ts*ch] keeps the minor dim >= 96 wide.
+        img = tiles.reshape(ty, tx, ts, ts * ch)
+        img = img.transpose(0, 2, 1, 3).reshape(ty * ts, tx * ts, ch)
         # GL row y lives at image row H - 1 - y; crop the y/x padding.
         return img[:cfg.height][::-1, :cfg.width]
 
-    chans = to_image(tile_colors, nc)
+    # One fused relayout for color + transmittance ([.., ts*(nc+1)] minor).
+    chans = to_image(jnp.concatenate([tile_colors, trans[..., None]],
+                                     axis=-1), nc + 1)
     color = chans[..., :3]
-    trans_img = to_image(trans[..., None], 1)[..., 0]
+    trans_img = chans[..., nc]
     bg = jnp.asarray(cfg.background, jnp.float32)
     alpha = 1.0 - trans_img
     out = {

@@ -183,7 +183,8 @@ def main():
     print(f"N={n} tile={args.tile} pairs={int(pairs.total_pairs)} "
           f"S={pairs.capacity} tiles={cfg.num_tiles}", flush=True)
 
-    for variant in ("full", "exit_every4", "no_exit", "no_scan",
+    for variant in ("full", "mxu_scan_high", "mxu_scan_highest",
+                    "exit_every4", "no_exit", "no_scan",
                     "no_matmul", "dma_only"):
         fn = jax.jit(build_variant(cfg, variant))
         ms = _timeit(fn, records, pairs.tile_starts, pairs.tile_counts,
