@@ -69,9 +69,11 @@ class ProjectedSplats:
 def _eval_covariance2d(cov2d: jnp.ndarray, cfg: RenderConfig):
     """Dilate the 2x2 covariance and compute compensation + eigen extents.
 
-    Returns (cov_eval3 (a, b, c) incl. splat_scale^2, compensation, radius,
-    valid) where radius is the [N, 2] pixel AABB of the eigen-clamped quad.
-    """
+    Returns (cov_eval3 (a, b, c) incl. splat_scale^2, compensation,
+    (ax, ay), valid) where (ax, ay) are the per-axis 1-sigma pixel extents
+    sqrt(Sigma_xx), sqrt(Sigma_yy) of the *evaluated* covariance —
+    :func:`project_splats` assembles the support box from them once the
+    final opacity is known (opacity-tightened cutoff)."""
     a0, b0, c0 = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
     det_orig = a0 * c0 - b0 * b0
     a = a0 + cfg.kernel_2d_size
@@ -112,24 +114,45 @@ def _eval_covariance2d(cov2d: jnp.ndarray, cfg: RenderConfig):
     s2 = s * s
     cov_eval = jnp.stack([a_eval * s2, b_eval * s2, c_eval * s2], axis=-1)
 
-    # Support half-extents: the AABB of the G = 8 ellipse of the *evaluated*
-    # covariance is exactly (sqrt(8 Sigma_xx), sqrt(8 Sigma_yy)); the
-    # max-screen-size clamp truncates the support like the reference's
-    # clamped quad does (SplatMaterial3D.js:189-196).  Both compositor paths
-    # apply this box as a hard cutoff, so binning by it is lossless.
-    max_ext = cfg.max_screen_space_splat_size * s
-    rx = jnp.minimum(SQRT8 * jnp.sqrt(jnp.maximum(a_eval, 0.0)) * s, max_ext)
-    ry = jnp.minimum(SQRT8 * jnp.sqrt(jnp.maximum(c_eval, 0.0)) * s, max_ext)
-    # Quantize the support box to 1/16 px, rounding UP (a larger box only
-    # admits pixels the G > 8 cutoff rejects anyway, so this is lossless
-    # except for a <=1/16 px sliver on max-size-clamped splats).  The
-    # quantized value is exact in u16 fixed point, which is how the sort
-    # pipeline packs it (binning.py), and both binning and the compositors
-    # consume this same value so the support-box contract stays exact.
+    ax = jnp.sqrt(jnp.maximum(a_eval, 0.0)) * s
+    ay = jnp.sqrt(jnp.maximum(c_eval, 0.0)) * s
+    return cov_eval, compensation, (ax, ay), valid
+
+
+def support_radius(ax, ay, opacity, cfg: RenderConfig):
+    """[N, 2] support-box half-extents from 1-sigma extents + final opacity.
+
+    The box is the AABB of the G = G_eff ellipse of the evaluated
+    covariance, (sqrt(G_eff Sigma_xx), sqrt(G_eff Sigma_yy)), where
+    G_eff = min(GAUSSIAN_CUTOFF, 2 ln(opacity / min_alpha)): beyond that
+    contour the fragment alpha falls below min_alpha and every compositor
+    path zeroes it anyway, so the OPACITY-TIGHTENED box is lossless while
+    shrinking low-opacity splats' pair/fragment footprint (the reference
+    sizes quads at sqrt(8) unconditionally, SplatMaterial3D.js:189-196 —
+    its fragment discard achieves the same pixels, at fragment cost).
+
+    The max-screen-size clamp truncates the support like the reference's
+    clamped quad.  Quantized to 1/16 px rounding UP (a larger box only
+    admits pixels the alpha cutoffs reject, and the value is exact in the
+    u16 fixed point the sort pipeline packs).  Both binning and the
+    compositors consume this same value, so the box contract stays exact.
+    No gradient flows through the box (hard-cutoff contract): callers
+    stop_gradient it, matching the reference's clamped-quad semantics.
+    """
+    from ..constants import GAUSSIAN_CUTOFF
+    if cfg.min_alpha > 0.0:
+        g_eff = jnp.clip(
+            2.0 * jnp.log(jnp.maximum(opacity, cfg.min_alpha)
+                          / cfg.min_alpha), 0.0, GAUSSIAN_CUTOFF)
+        r_fac = jnp.sqrt(g_eff)
+    else:
+        r_fac = SQRT8
+    max_ext = cfg.max_screen_space_splat_size * cfg.splat_scale
+    rx = jnp.minimum(r_fac * ax, max_ext)
+    ry = jnp.minimum(r_fac * ay, max_ext)
     rx = jnp.minimum(jnp.ceil(rx * 16.0) * (1.0 / 16.0), 4095.9375)
     ry = jnp.minimum(jnp.ceil(ry * 16.0) * (1.0 / 16.0), 4095.9375)
-    radius = jnp.stack([rx, ry], axis=-1)
-    return cov_eval, compensation, radius, valid
+    return jnp.stack([rx, ry], axis=-1)
 
 
 def conic_from_cov(cov: jnp.ndarray) -> jnp.ndarray:
@@ -260,7 +283,8 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
                        quadratic_form6(cov6, u, v),
                        quadratic_form6(cov6, v, v)], axis=-1)
 
-    cov_eval, compensation, radius, eig_valid = _eval_covariance2d(cov2d, cfg)
+    cov_eval, compensation, (ax, ay), eig_valid = _eval_covariance2d(
+        cov2d, cfg)
     conic = conic_from_cov(cov_eval)
 
     color = eval_sh_color(splats.colors[:, :3], splats.sh, dirs, cfg.sh_degree)
@@ -286,6 +310,8 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
 
     depth = jnp.where(visible, clip[:, 2], jnp.inf)
     opacity = jnp.where(visible, opacity, 0.0)
+    # Support box from the FINAL opacity (hard cutoff, gradient-free).
+    radius = support_radius(ax, ay, jax.lax.stop_gradient(opacity), cfg)
     radius = jnp.where(visible[:, None], radius, 0.0)
 
     return ProjectedSplats(mean2d=mean2d, conic=conic, color=color,
