@@ -87,6 +87,52 @@ class _InterpretPallas:
         return False
 
 
+def _kernel_grad_fn(cfg):
+    """(packed_records, starts, counts, tile_ids) -> record gradients of a
+    scalar loss through ONLY the Pallas compositor — the kernel boundary."""
+    if cfg.render_mode_2d:
+        from ..render.pallas_surfel import composite_surfel_tiles_pallas
+        comp = composite_surfel_tiles_pallas
+    else:
+        from ..render.pallas_rasterize import composite_tiles
+        comp = composite_tiles
+
+    def loss(rec, starts, counts, tile_ids):
+        cols, logt = comp(cfg, rec.shape[1], rec, starts, counts, tile_ids)
+        return jnp.mean(cols * cols) + jnp.mean(logt)
+
+    return jax.jit(jax.grad(loss))
+
+
+def _build_records(cfg, splats, cam):
+    """Sorted + packed pair records through the real pipeline (fwd-only
+    plumbing; computed once so both parity sides see BIT-IDENTICAL
+    inputs)."""
+    if cfg.render_mode_2d:
+        from ..render.pallas_surfel import pack_surfel_records
+        from ..render.surfel import bin_sort_surfels, project_surfels
+
+        def build(s):
+            proj = project_surfels(s, cam, cfg)
+            recs, starts, counts, _, _ = bin_sort_surfels(proj, cfg)
+            return pack_surfel_records(recs), starts, counts
+
+        return jax.jit(build)(splats)
+    from ..render import binning
+    from ..render.pallas_rasterize import pack_records_flat
+    from ..render.projection import project_splats
+
+    def build(s):
+        proj = project_splats(s, cam, cfg)
+        q = binning.bin_sort_records(proj, cfg)
+        packed = pack_records_flat(q.xs, q.ys, q.cas, q.cbs, q.ccs,
+                                   q.crs, q.cgs, q.cbs2, q.opas,
+                                   q.rxs, q.rys, q.depths)
+        return packed, q.tile_starts, q.tile_counts
+
+    return jax.jit(build)(splats)
+
+
 def run(cfg_kwargs, label):
     splats = build_scene()
     cam = gs.Camera.look_at((2.2, 1.4, 2.2), (0, 0, 0), fov_y_deg=60,
@@ -104,17 +150,33 @@ def run(cfg_kwargs, label):
 
     outs, grads = {}, {}
     outs["hw"] = jax.jit(lambda s: gs.render(s, cam, cfg_p))(splats)
-    grads["hw"] = jax.jit(jax.grad(lambda s: loss(s, cfg_p)))(splats)
-    jax.block_until_ready(grads["hw"].means)
+    # End-to-end hardware gradients: finiteness sanity only.  Comparing
+    # them against a CPU run would compare XLA:TPU vs XLA:CPU compilations
+    # of the ill-conditioned PROJECTION chain (covariance eigen math on
+    # the 20x-scaled test splats), whose legitimate compiler-numerics tail
+    # swamps any kernel signal — CI's finite-difference tests own that
+    # chain's correctness.
+    grads["hw_e2e"] = jax.jit(jax.grad(lambda s: loss(s, cfg_p)))(splats)
+    jax.block_until_ready(grads["hw_e2e"].means)
+
+    # Kernel-boundary gradients: records built ONCE (on the TPU), then fed
+    # bit-identically to the compiled kernel and the interpreter — any
+    # field-wide divergence is a Mosaic compilation bug, full stop.
+    packed, starts, counts = _build_records(cfg_p, splats, cam)
+    tile_ids = jnp.arange(cfg_p.num_tiles, dtype=jnp.int32)
+    kgrad = _kernel_grad_fn(cfg_p)
+    grads["hw"] = kgrad(packed, starts, counts, tile_ids)
+    jax.block_until_ready(grads["hw"])
     # interpret mode lowers to plain JAX ops — run it jitted on the host
     # CPU (eager interpret over the TPU tunnel would crawl)
-    with _InterpretPallas(), jax.default_device(jax.devices("cpu")[0]):
-        splats_c = jax.device_put(splats, jax.devices("cpu")[0])
+    cpu = jax.devices("cpu")[0]
+    with _InterpretPallas(), jax.default_device(cpu):
+        args_c = jax.device_put((packed, starts, counts, tile_ids), cpu)
         outs["interp"] = jax.jit(
-            lambda s: gs.render(s, cam, cfg_p))(splats_c)
-        grads["interp"] = jax.jit(
-            jax.grad(lambda s: loss(s, cfg_p)))(splats_c)
-        jax.block_until_ready(grads["interp"].means)
+            lambda s: gs.render(s, cam, cfg_p))(
+                jax.device_put(splats, cpu))
+        grads["interp"] = _kernel_grad_fn(cfg_p)(*args_c)
+        jax.block_until_ready(grads["interp"])
     outs["xla"] = jax.jit(lambda s: gs.render(s, cam, cfg_j))(splats)
     jax.block_until_ready(outs["xla"]["color"])
 
@@ -150,11 +212,13 @@ def run(cfg_kwargs, label):
         err = np.abs(np.asarray(outs["hw"][key])
                      - np.asarray(outs["interp"][key]))
         gate(err, 1e-3, f"hw-interp fwd {key}")
+    a = np.asarray(grads["hw"])
+    b = np.asarray(grads["interp"])
+    scale = max(np.abs(b).max(), 1e-10)
+    gate(np.abs(a - b) / scale, 1e-3, "hw-interp bwd records")
     for f in ("means", "scales", "quats", "colors", "sh"):
-        a = np.asarray(getattr(grads["hw"], f))
-        b = np.asarray(getattr(grads["interp"], f))
-        scale = max(np.abs(b).max(), 1e-10)
-        gate(np.abs(a - b) / scale, 1e-3, f"hw-interp bwd {f}")
+        if not np.isfinite(np.asarray(getattr(grads["hw_e2e"], f))).all():
+            failures.append(f"{label}/hw-e2e/bwd/{f}: non-finite")
     # 2. compiled vs the pure-JAX backend: forward semantics cross-check
     for key in channels:
         err = np.abs(np.asarray(outs["hw"][key])
