@@ -27,6 +27,17 @@ sys.path.insert(0, "/root/repo")
 
 import gaussiansplats3d_tpu as gs  # noqa: E402
 
+import numpy as np  # noqa: E402
+
+
+def _sync(x):
+    """1-element host readback: over the axon tunnel block_until_ready can
+    return before remote execution completes; a device->host fetch cannot
+    lie (the device executes in order, so one element of the LAST result
+    implies everything before it finished)."""
+    np.asarray(jax.device_get(x[(0,) * x.ndim]))
+
+
 N = (int(float(sys.argv[1]))
      if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else 2_000_000)
 WIDTH, HEIGHT = 1920, 1080
@@ -56,12 +67,13 @@ def frames_per_s_8m():
     camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
                                fov_y_deg=60.0, aspect=WIDTH / HEIGHT)
     fwd = jax.jit(lambda s: gs.render(s, camera, cfg)["color"])
-    jax.block_until_ready(fwd(splats))
+    _sync(fwd(splats))
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fwd(splats)
     jax.block_until_ready(out)
+    _sync(out)
     dt = (time.perf_counter() - t0) / iters
     return 1.0 / dt
 
@@ -79,9 +91,11 @@ def demo_16m():
     fwd = jax.jit(lambda s: gs.render(s, camera, cfg, return_aux=True))
     out = fwd(splats)
     jax.block_until_ready(out["color"])
+    _sync(out["color"])
     t0 = time.perf_counter()
     out = fwd(splats)
     jax.block_until_ready(out["color"])
+    _sync(out["color"])
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "16M SH0 1080p forward (single chip)",
@@ -105,12 +119,14 @@ def main():
 
     g = step(splats)                       # compile + warmup
     jax.block_until_ready(g.means)
+    _sync(g.means)
 
     iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         g = step(splats)
     jax.block_until_ready(g.means)
+    _sync(g.means)
     dt = (time.perf_counter() - t0) / iters
 
     msplats_per_s = N / dt / 1e6

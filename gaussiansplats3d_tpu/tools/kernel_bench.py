@@ -22,13 +22,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _sync(out):
+    """1-element host readback per leaf — see profile_stages._sync (the
+    axon tunnel's block_until_ready can return before remote completion)."""
+    import numpy as np
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(jax.device_get(leaf[(0,) * getattr(leaf, "ndim", 0)]))
+
+
 def _timeit(fn, *args, iters=5):
     out = fn(*args)
     jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
     jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1000.0
 
 

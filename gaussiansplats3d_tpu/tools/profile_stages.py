@@ -26,13 +26,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """Force completion with a 1-element host readback from EVERY leaf:
+    over the axon tunnel, block_until_ready has been observed returning
+    before remote execution finishes (a 60 ms sort "measured" at 0.1 ms);
+    a device->host fetch cannot lie."""
+    import numpy as np
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(jax.device_get(leaf[(0,) * getattr(leaf, "ndim", 0)]))
+
+
 def _timeit(fn, *args, iters=5):
     out = fn(*args)
     jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
     jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters * 1000.0
 
 
