@@ -9,16 +9,18 @@ Everything is laid out **pixels-on-sublanes x splats-on-lanes** ([P, C]
 blocks, P = tile_size^2, C = 128) so that no transposes or relayouts appear
 anywhere in the inner loop:
 
-    alpha [P, C] = opacity * exp(-0.5 G)             (VPU)
-    excl  [P, C] = exclusive cumprod of (1 - alpha)  (VPU roll-scan)
-    col   [P, 3] += (alpha * excl * T) @ rgb         (MXU)
-    T     [P, 1] *= prod_lanes (1 - alpha)
+    alpha [P, C] = opacity * exp(-0.5 G)                   (VPU)
+    excl  [P, C] = exclusive prefix-sum of log1p(-alpha)   (MXU tri-matmul)
+    col   [P, 3] += (alpha * exp(excl) * T) @ rgb          (MXU)
+    T     [P, 1] *= exp(chunk log-sum)
 
-The forward tracks transmittance as a straight f32 PRODUCT (one exp per
-pair-pixel total) rather than in log space: log1p + exp per pair-pixel
-were ~1/3 of the forward kernel's VPU work, and the f32 cumprod's
-reassociation error (~1 ulp per factor) is far below the compositor's
-4e-3 parity tolerance.  The backward replay stays in log space, where
+The transmittance prefix runs in LOG space on the MXU (a [P, C] @
+strict-upper-triangular [C, C] matmul, 2 bf16 limbs — `_mm_tri`): the
+measured kernel ablation has it ~24% faster than the 7-pass VPU
+roll-multiply product scan it replaced (kernel_bench 2M: 51.1 vs
+66.9 ms), and the 16-bit limb precision bounds the log-prefix error of
+any still-compositing pixel to ~7e-5 (see _FWD_TRI_PASSES).  The
+backward replay uses the same log-space scan at 3 limbs, where
 chunk-entry transmittance reconstruction is an exact subtraction (a
 product-space replay would divide by per-chunk products that underflow).
 
@@ -80,6 +82,19 @@ CHUNK = 128
 # Matches rasterize._LOG_T_FLOOR.
 _LOG_T_FLOOR = -80.0
 _T_FLOOR = math.exp(_LOG_T_FLOOR)
+# Per-CHUNK floor on the log-transmittance contribution.  A single
+# 128-pair chunk of near-opaque splats can contribute log T ~ -590 — far
+# below f32 exp range — while other pixels keep the tile compositing, so
+# a pixel's log T must be accumulated per chunk with a matching clamp on
+# BOTH sides: the forward accumulates max(log(chunk product), CS_FLOOR)
+# and the backward replay subtracts max(scan sum, CS_FLOOR); using the
+# same constant makes the reconstruction exact through the chunk where a
+# pixel dies and bounded (zero weights, zero gradients — the true values)
+# beyond it.  Reconstructing from a SINGLE floored final log T instead
+# diverged: entry T estimates overflowed exp() and poisoned every
+# gradient row of dense scenes with NaN (caught by the at-scale parity
+# case, ~400k pairs).
+_CS_FLOOR = math.log(1e-37)
 # Early-exit when every pixel's transmittance falls below 1e-4 — the
 # REFERENCE's own saturation cutoff (its fragment shader discards at
 # test_T < 0.0001, SplatMaterial2D.js:339; 3D splats saturate the same
@@ -199,6 +214,46 @@ def _tri(strict_upper: bool):
     return ((c > r) if strict_upper else (c < r)).astype(jnp.float32)
 
 
+# MXU passes for the triangular prefix/suffix-scan matmuls.  The
+# triangular operand is 0/1 — exactly representable in bf16 — so splitting
+# ONLY the data operand into `passes` bf16 limbs reproduces the f32
+# product at 8*passes mantissa bits: 3 limbs = 24 bits = full-f32
+# accuracy (what Precision.HIGHEST buys with 6 passes, at half the MXU
+# cost).  Mosaic has no Precision.HIGH lowering, hence the manual split.
+#
+# The FORWARD transmittance scan uses 2 limbs (16 mantissa bits): the
+# exclusive log-T prefix of any pixel still compositing is bounded by
+# |log _EXIT_T| ~ 9.2, so the limb-truncation error is <= 9.2 * 2^-17
+# ~ 7e-5 absolute in log space -> <1e-4 relative on color weights, an
+# order under the parity gate's 1e-3 error-mass bar — and each limb
+# dropped from the in-loop scan is a measured ~6 ms/frame at 2M
+# (kernel_bench: roll-scan 66.9 ms, mxu_scan_2 51.1, mxu_scan_3 63.7).
+# The BACKWARD replay keeps 3 limbs: gradient reconstruction subtracts
+# large intermediates (logt_after - chunk_sum), where the extra 8 bits
+# matter and the backward's extra matmuls hide the cost.
+_TRI_PASSES = 3
+_FWD_TRI_PASSES = 2
+
+
+def _mm_tri(x, strict_upper: bool, passes=None):
+    """[P, C] @ triangular-0/1 [C, C] on the MXU via bf16 limb splitting."""
+    if passes is None:
+        passes = _TRI_PASSES
+    if passes >= 6:
+        return _mm(x, _tri(strict_upper))
+    tri = _tri(strict_upper).astype(jnp.bfloat16)
+    acc = None
+    rem = x
+    for p in range(passes):
+        limb = rem.astype(jnp.bfloat16)
+        if p + 1 < passes:
+            rem = rem - limb.astype(jnp.float32)
+        y = jax.lax.dot_general(limb, tri, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc = y if acc is None else acc + y
+    return acc
+
+
 def _mm(a, b):
     """[M, K] @ [K, N] -> [M, N] on the MXU in f32."""
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
@@ -271,7 +326,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
             dma_for(jnp.int32(0)).start()
 
         def body(state):
-            k, col, t = state
+            k, col, t, lt = state
             # Prefetch next chunk into the other slot, then consume this one.
             @pl.when(k + 1 < num_chunks)
             def _():
@@ -281,27 +336,35 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
             alpha, _, _, _ = _chunk_alpha_block(rec, px, py, window,
                                                 cfg.min_alpha, nc)
-            excl, cprod = _excl_prefix_prod_lanes(1.0 - alpha)
-            w = alpha * (excl * t)                    # [P, C]
+            # Log-space exclusive prefix on the MXU (2 bf16 limbs — see
+            # _FWD_TRI_PASSES): alpha <= ALPHA_CLAMP keeps logw finite.
+            logw = jnp.log1p(-alpha)                  # [P, C]
+            excl_log = _mm_tri(logw, True, _FWD_TRI_PASSES)
+            w = alpha * (jnp.exp(excl_log) * t)       # [P, C]
             col = col + _mm_nt(w, rec[5:5 + nc, :])   # [P, NC]
-            t = jnp.maximum(t * cprod, _T_FLOOR)
-            return k + 1, col, t
+            csum = excl_log[:, CHUNK - 1:CHUNK] + logw[:, CHUNK - 1:CHUNK]
+            t = t * jnp.exp(csum)                     # product (may hit 0)
+            # log T accumulated per chunk with the _CS_FLOOR clamp — the
+            # backward replay's exact-subtraction source (see _CS_FLOOR)
+            lt = lt + jnp.maximum(csum, _CS_FLOOR)
+            return k + 1, col, t, lt
 
         def cond(state):
-            k, _, t = state
+            k, _, t, _ = state
             return (k < num_chunks) & (jnp.max(t) > _EXIT_T)
 
-        k_end, col, t = jax.lax.while_loop(
+        k_end, col, t, lt = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0), jnp.zeros((p, nc), jnp.float32),
-             jnp.ones((p, 1), jnp.float32)))
+             jnp.ones((p, 1), jnp.float32),
+             jnp.zeros((p, 1), jnp.float32)))
         # Drain the prefetch issued for the chunk after the exit point so
         # the semaphore is clean for the next grid step.
         @pl.when(k_end < num_chunks)
         def _():
             dma_for(k_end).wait()
         colors_out[0] = col
-        logt_out[0] = jnp.log(t)
+        logt_out[0] = lt      # finite by construction (>= _CS_FLOOR/chunk)
         exit_k_out[i] = k_end
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -423,10 +486,14 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
                                                 cfg.min_alpha, nc)
             logw = jnp.log1p(-alpha)                   # [P, C]
             # Exclusive prefix sum on the MXU (strict-upper triangular 0/1
-            # matmul; gradient-grade precision, ~1e-7 relative at HIGHEST).
-            excl = _mm(logw, _tri(True))               # [P, C]
-            chunk_sum = (excl[:, CHUNK - 1:CHUNK]
-                         + logw[:, CHUNK - 1:CHUNK])
+            # matmul; full-f32 accuracy via the bf16 limb split, _mm_tri).
+            excl = _mm_tri(logw, True)                 # [P, C]
+            # the _CS_FLOOR clamp mirrors the forward accumulation exactly
+            # (same constant), keeping the entry-T reconstruction bounded
+            # through chunks where a pixel's transmittance dies
+            chunk_sum = jnp.maximum(
+                excl[:, CHUNK - 1:CHUNK] + logw[:, CHUNK - 1:CHUNK],
+                _CS_FLOOR)
             logt_before = logt_after - active * chunk_sum
             t_i = jnp.exp(excl + logt_before)          # [P, C]
             w = alpha * t_i
@@ -436,9 +503,9 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             u = w * cg
             # Exclusive suffix sum as an MXU matmul with a strict-lower
             # triangular 0/1 matrix: the roll-scan's ~21 VPU ops per
-            # pair-pixel move to the otherwise-idle MXU (gradient-grade
-            # precision: the 6-pass f32 matmul is ~1e-7 relative).
-            suffix = _mm(u, _tri(False)) + sg          # [P, C]
+            # pair-pixel move to the otherwise-idle MXU (full-f32 accuracy
+            # via the bf16 limb split, _mm_tri).
+            suffix = _mm_tri(u, False) + sg            # [P, C]
 
             one_minus = jnp.maximum(1.0 - alpha, 1e-6)
             d_alpha = t_i * cg - suffix / one_minus - glogt_t / one_minus

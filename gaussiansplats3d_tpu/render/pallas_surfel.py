@@ -43,13 +43,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core.types import RenderConfig
 from .pallas_rasterize import (
     CHUNK,
-    _T_FLOOR,
+    _CS_FLOOR,
     _excl_prefix_prod_lanes,
     _mm,
     _mm_nt,
     _mm_tn,
+    _mm_tri,
     _pixel_coords,
-    _tri,
     _window_mask,
 )
 
@@ -151,7 +151,7 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
             dma_for(jnp.int32(0)).start()
 
         def body(state):
-            k, col, t = state
+            k, col, t, lt = state
             @pl.when(k + 1 < num_chunks)
             def _():
                 dma_for(k + 1).start()
@@ -165,22 +165,26 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
             excl, cprod = _excl_prefix_prod_lanes(1.0 - alpha)
             w = alpha * (excl * t)
             col = col + _mm_nt(w, rec[11:11 + nc, :])
-            t = jnp.maximum(t * cprod, _T_FLOOR)
-            return k + 1, col, t
+            t = t * cprod
+            # per-chunk clamped log T accumulation (pallas_rasterize
+            # _CS_FLOOR note: keeps the backward replay bounded/exact)
+            lt = lt + jnp.maximum(jnp.log(cprod), _CS_FLOOR)
+            return k + 1, col, t, lt
 
         def cond(state):
-            k, _, t = state
+            k, _, t, _ = state
             return (k < num_chunks) & (jnp.max(t) > _EXIT_T)
 
-        k_end, col, t = jax.lax.while_loop(
+        k_end, col, t, lt = jax.lax.while_loop(
             cond, body,
             (jnp.int32(0), jnp.zeros((p, nc), jnp.float32),
-             jnp.ones((p, 1), jnp.float32)))
+             jnp.ones((p, 1), jnp.float32),
+             jnp.zeros((p, 1), jnp.float32)))
         @pl.when(k_end < num_chunks)
         def _():
             dma_for(k_end).wait()
         colors_out[0] = col
-        logt_out[0] = jnp.log(t)
+        logt_out[0] = lt
         exit_k_out[i] = k_end
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -278,9 +282,10 @@ def _bwd(cfg, capacity, residuals, cotangents):
                                           cfg.min_alpha, nc)
             logw = jnp.log1p(-alpha)
             # exclusive prefix sum on the MXU (see _composite_bwd)
-            excl = _mm(logw, _tri(True))
-            chunk_sum = (excl[:, CHUNK - 1:CHUNK]
-                         + logw[:, CHUNK - 1:CHUNK])
+            excl = _mm_tri(logw, True)
+            chunk_sum = jnp.maximum(
+                excl[:, CHUNK - 1:CHUNK] + logw[:, CHUNK - 1:CHUNK],
+                _CS_FLOOR)
             logt_before = logt_after - chunk_sum
             t_i = jnp.exp(excl + logt_before)
             w = alpha * t_i
@@ -289,7 +294,7 @@ def _bwd(cfg, capacity, residuals, cotangents):
             d_chan = _mm_tn(gcol_t, w)                  # [NC, C]
             u = w * cg
             # exclusive suffix sum on the MXU (see pallas_rasterize._composite_bwd)
-            suffix = _mm(u, _tri(False)) + sg
+            suffix = _mm_tri(u, False) + sg
 
             one_minus = jnp.maximum(1.0 - alpha, 1e-6)
             d_alpha = t_i * cg - suffix / one_minus - glogt_t / one_minus

@@ -227,6 +227,129 @@ def run(cfg_kwargs, label):
     return failures
 
 
+def _mass_gate(failures, label, what, err, bar):
+    p999 = float(np.quantile(err, 0.999))
+    frac = float((err > bar).mean())
+    mx = float(err.max())
+    print(f"[{label}] {what:22s} max {mx:9.3e}  p99.9 {p999:9.3e}  "
+          f"frac>{bar:g} {frac:.1e}")
+    if not np.isfinite(err).all():
+        failures.append(f"{label}/{what}: non-finite")
+    elif p999 > bar or frac > 1e-3 or mx > 60 * bar:
+        failures.append(f"{label}/{what}: p99.9 {p999:.3e} frac {frac:.1e} "
+                        f"max {mx:.3e}")
+
+
+def run_binning_backward(precision, label):
+    """Hardware-vs-CPU parity of bin_sort_records' BACKWARD alone:
+    records-level cotangents in, projected-splat gradients out.
+
+    Exercises exactly the path the kernel-boundary gate skips: the
+    backward alignment sort, the bf16 cotangent pair packing, lane
+    slicing, and the aux segment reduce — bypassing the ill-conditioned
+    projection chain (an XLA:TPU-specific miscompile of the
+    pack/unpack/sort path would otherwise only be finiteness-checked).
+    Inputs are built ONCE on the TPU so both sides see identical bits;
+    cotangent weights are an integer hash (no transcendentals), so the
+    only legitimate divergence is f32 reassociation in the aux cumsum.
+    """
+    import dataclasses as dc
+
+    from ..render import binning
+    from ..render.projection import project_splats
+
+    splats = build_scene()
+    cam = gs.Camera.look_at((2.2, 1.4, 2.2), (0, 0, 0), fov_y_deg=60,
+                            aspect=320 / 240)
+    cfg = gs.RenderConfig(width=320, height=240, sh_degree=1,
+                          record_precision=precision)
+    proj = jax.jit(lambda s: project_splats(s, cam, cfg))(splats)
+    jax.block_until_ready(proj.mean2d)
+
+    diff_names = ("xs", "ys", "conic_a", "conic_b", "conic_c",
+                  "col_r", "col_g", "col_b", "opacity")
+
+    def make_loss(base):
+        def loss(*flat):
+            p2 = dc.replace(base, **dict(zip(diff_names, flat)))
+            q = binning.bin_sort_records(p2, cfg)
+            acc = jnp.float32(0.0)
+            for i, f in enumerate((q.xs, q.ys, q.cas, q.cbs, q.ccs,
+                                   q.crs, q.cgs, q.cbs2, q.opas)):
+                h = (jnp.arange(f.shape[0], dtype=jnp.uint32)
+                     * jnp.uint32(2654435761) + jnp.uint32(i * 97))
+                w = ((h >> 16) & 0x3FF).astype(jnp.float32) / 512.0 - 1.0
+                acc = acc + jnp.sum(f * w)
+            return acc
+        return loss
+
+    argnums = tuple(range(len(diff_names)))
+    args = tuple(getattr(proj, nm) for nm in diff_names)
+    g_hw = jax.jit(jax.grad(make_loss(proj), argnums=argnums))(*args)
+    jax.block_until_ready(g_hw[0])
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        args_c = jax.device_put(args, cpu)
+        proj_c = jax.device_put(proj, cpu)
+        g_cpu = jax.jit(jax.grad(make_loss(proj_c),
+                                 argnums=argnums))(*args_c)
+        jax.block_until_ready(g_cpu[0])
+
+    failures = []
+    for name, a, b in zip(diff_names, g_hw, g_cpu):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-10)
+        _mass_gate(failures, label, f"hw-cpu binbwd {name}",
+                   np.abs(a - b) / scale, 1e-3)
+    return failures
+
+
+def run_at_scale(label="at-scale"):
+    """Kernel-boundary fwd+bwd parity at ~2M pairs: the aliased RMW
+    gradient DMA pipeline and early-exit bookkeeping at real chunk counts
+    (the 6k-splat cases only reach a few hundred chunks)."""
+    n = 1_000_000
+    splats = gs.random_splats(jax.random.PRNGKey(21), n, sh_degree=0)
+    splats = dataclasses.replace(
+        splats,
+        scales=splats.scales * 2.0,
+        colors=splats.colors.at[:, 3].set(
+            jnp.clip(splats.colors[:, 3] * 1.5, 0.0, 0.95)))
+    cam = gs.Camera.look_at((2.2, 1.4, 2.2), (0, 0, 0), fov_y_deg=60,
+                            aspect=512 / 384)
+    cfg = gs.RenderConfig(width=512, height=384, sh_degree=0,
+                          backend="pallas")
+    packed, starts, counts = _build_records(cfg, splats, cam)
+    n_pairs = int(np.asarray(counts).sum())
+    print(f"[{label}] pairs={n_pairs}")
+    tile_ids = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
+
+    from ..render.pallas_rasterize import composite_tiles
+    fwd = jax.jit(lambda r, s, c, t: composite_tiles(
+        cfg, r.shape[1], r, s, c, t))
+    out_hw = fwd(packed, starts, counts, tile_ids)
+    kgrad = _kernel_grad_fn(cfg)
+    g_hw = kgrad(packed, starts, counts, tile_ids)
+    jax.block_until_ready(g_hw)
+
+    cpu = jax.devices("cpu")[0]
+    with _InterpretPallas(), jax.default_device(cpu):
+        args_c = jax.device_put((packed, starts, counts, tile_ids), cpu)
+        out_in = jax.jit(lambda r, s, c, t: composite_tiles(
+            cfg, r.shape[1], r, s, c, t))(*args_c)
+        g_in = _kernel_grad_fn(cfg)(*args_c)
+        jax.block_until_ready(g_in)
+
+    failures = []
+    _mass_gate(failures, label, "hw-interp fwd colors",
+               np.abs(np.asarray(out_hw[0]) - np.asarray(out_in[0])), 1e-3)
+    a, b = np.asarray(g_hw), np.asarray(g_in)
+    scale = max(np.abs(b).max(), 1e-10)
+    _mass_gate(failures, label, "hw-interp bwd records",
+               np.abs(a - b) / scale, 1e-3)
+    return failures
+
+
 def main():
     platform = jax.devices()[0].platform
     if platform not in ("tpu", "axon"):
@@ -244,6 +367,12 @@ def main():
     failures += run({"render_mode_2d": True}, "2d")
     failures += run({"render_mode_2d": True, "return_depth": True},
                     "2d+depth")
+    # binning backward alone, hw vs CPU (alignment sort + bf16 cotangent
+    # packing + aux segment reduce) for each cotangent-packing mode
+    failures += run_binning_backward("mixed", "binbwd-mixed")
+    failures += run_binning_backward("f32", "binbwd-f32")
+    # ~2M-pair kernel-boundary case: the RMW gradient pipeline at scale
+    failures += run_at_scale()
     if failures:
         print("PARITY FAILURES:\n  " + "\n  ".join(failures))
         return 1
