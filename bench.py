@@ -58,11 +58,13 @@ def frames_per_s_8m():
     the reference README's headline '8M splat scenes' capability)."""
     n = 8_000_000
     # record_precision='packed' is the view/serving mode (positions 1/16 px,
-    # conic f16, color f16): the same fidelity class as the reference's
-    # u8 color / f16 covariance data textures it renders 8M scenes with.
+    # conic f16, color+opacity u8): the same fidelity class as the
+    # reference's u8 color data textures it renders 8M scenes with.
+    # forward_only drops the backward-alignment operand from the sort
+    # (viewing never differentiates).
     cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=0,
-                          sort_bits=16, pair_multiplier=2.0,
-                          record_precision="packed")
+                          sort_bits=16, record_precision="packed",
+                          forward_only=True)
     splats = _make_scene(n, 0)
     camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
                                fov_y_deg=60.0, aspect=WIDTH / HEIGHT)
@@ -83,8 +85,8 @@ def demo_16m():
     reference's headline scene size (/root/reference/README.md:48-53)."""
     n = 16_000_000
     cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=0,
-                          sort_bits=16, pair_multiplier=1.5,
-                          record_precision="packed")
+                          sort_bits=16, record_precision="packed",
+                          forward_only=True, aux_multiplier=0.3)
     splats = _make_scene(n, 0)
     camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
                                fov_y_deg=60.0, aspect=WIDTH / HEIGHT)
@@ -106,7 +108,7 @@ def demo_16m():
 
 def main():
     cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=SH_DEGREE,
-                          sort_bits=16, pair_multiplier=4.0)
+                          sort_bits=16)
     splats = _make_scene(N, SH_DEGREE)
     camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
                                fov_y_deg=60.0, aspect=WIDTH / HEIGHT)

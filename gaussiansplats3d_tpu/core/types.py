@@ -204,15 +204,21 @@ class RenderConfig:
     # Pair-record precision through the fused expand+sort (each packed pair
     # removes one full value operand from the dominant sort):
     #   'f32'    every field exact (finite-difference-grade gradients)
-    #   'mixed'  color/opacity as f16 pairs — still above the reference's
-    #            u8 color texels (SplatMesh color texture); geometry exact
-    #   'packed' geometry too: positions u16 fixed point (1/16 px up to
-    #            ~2K viewports, 1/8 px beyond), conic f16 — the
-    #            view/serving mode, comparable to the reference's
-    #            compressed .ksplat levels (f16 centers, u8 color);
-    #            measured ~50 dB PSNR vs 'f32' (tests/test_pipeline.py)
+    #   'mixed'  geometry exact; color/opacity as f16 pairs — still above
+    #            the reference's fidelity, which stores color as u8 texels
+    #            (SplatMesh color texture)
+    #   'packed' the view/serving mode: positions u16 fixed point (1/16 px
+    #            up to ~2K viewports, 1/8 px beyond), conic f16, color +
+    #            opacity u8 (the reference's color-texel fidelity and
+    #            1/255 discard threshold), support box in u8 log steps —
+    #            comparable to the reference's compressed .ksplat levels
     # Gradients are straight-through in all modes.
     record_precision: str = "mixed"
+    # Forward-only rendering (viewing/serving): drops the sorted-slot
+    # permutation operand from the dominant pair sort — the operand exists
+    # only to align gradients in the backward pass.  Outputs are
+    # stop-gradiented; leave False for training.
+    forward_only: bool = False
     # Splats processed per compositing chunk (MXU-friendly multiple of 128).
     chunk_size: int = 128
 

@@ -110,7 +110,8 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                          scene_opacities: Optional[jnp.ndarray] = None,
                          scene_visibility: Optional[jnp.ndarray] = None,
                          exchange_capacity: Optional[int] = None,
-                         return_overflow: bool = False):
+                         return_overflow: bool = False,
+                         return_stats: bool = False):
     """Render to tile blocks over the mesh.
 
     Args:
@@ -163,7 +164,10 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
         t_idx = jax.lax.axis_index(TILE_AXIS)
         ty_lo = t_idx * rows
         ty_hi = ty_lo + rows
-        y, ry = proj.mean2d[:, 1], proj.radius[:, 1]
+        if cfg.render_mode_2d:
+            y, ry = proj.mean2d[:, 1], proj.radius[:, 1]
+        else:
+            y, ry = proj.ys, proj.ry
         ty0 = jnp.floor((y - ry) / ts).astype(jnp.int32)
         ty1 = jnp.floor((y + ry) / ts).astype(jnp.int32)
         touch = proj.mask & (ty1 >= ty_lo) & (ty0 < ty_hi)
@@ -184,12 +188,12 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                 jax.lax.stop_gradient(proj.radius[:, 1]),
                 depth_f]
         else:
-            fields = [proj.mean2d[:, 0], proj.mean2d[:, 1],
-                      proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-                      proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+            fields = [proj.xs, proj.ys,
+                      proj.conic_a, proj.conic_b, proj.conic_c,
+                      proj.col_r, proj.col_g, proj.col_b,
                       proj.opacity,
-                      jax.lax.stop_gradient(proj.radius[:, 0]),
-                      jax.lax.stop_gradient(proj.radius[:, 1]),
+                      jax.lax.stop_gradient(proj.rx),
+                      jax.lax.stop_gradient(proj.ry),
                       depth_f]
         comp, valid_c, dropped = _compact_to_capacity(fields, touch, ecap)
 
@@ -221,12 +225,12 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
             (gx, gy, gca, gcb, gcc, gcr, gcg, gcb2, gop, grx, gry,
              gdepth) = gathered[:-1]
             proj_g = ProjectedSplats(
-                mean2d=jnp.stack([gx, gy], axis=1),
-                conic=jnp.stack([gca, gcb, gcc], axis=1),
-                color=jnp.stack([gcr, gcg, gcb2], axis=1),
+                xs=gx, ys=gy,
+                conic_a=gca, conic_b=gcb, conic_c=gcc,
+                col_r=gcr, col_g=gcg, col_b=gcb2,
                 opacity=jnp.where(gmask, gop, 0.0),
                 depth=jnp.where(gmask, gdepth, big),
-                radius=jnp.stack([grx, gry], axis=1),
+                rx=grx, ry=gry,
                 mask=gmask)
 
             # --- slab-local fused expand + sort + composite -----------
@@ -238,7 +242,16 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
             pair_ovf = pairs.overflow
         overflow = jax.lax.psum(
             jax.lax.psum(dropped + pair_ovf, SPLAT_AXIS), TILE_AXIS)
-        return tile_colors, tile_logtrans, overflow
+        # Per-slab pair demand (identical across the splat axis after the
+        # all_gather): [tile_shards], replicated — the scaling harness's
+        # per-device work-volume probe (tools/scaling_bench.py).
+        if cfg.render_mode_2d:
+            slab_pairs = jnp.zeros((), jnp.int32)  # surfel path: not probed
+        else:
+            slab_pairs = pairs.total_pairs - pairs.overflow
+        slab_pairs = jax.lax.all_gather(slab_pairs[None], TILE_AXIS,
+                                        axis=0, tiled=True)
+        return tile_colors, tile_logtrans, overflow, slab_pairs
 
     splat_spec = jax.tree.map(lambda _: P(SPLAT_AXIS), splats)
     cam_spec = jax.tree.map(lambda _: P(), camera)
@@ -247,13 +260,18 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
     scene_args = (transforms if has_scenes else None,
                   scene_opacities, scene_visibility)
     scene_args_spec = jax.tree.map(lambda _: P(), scene_args)
-    out_spec = (P(TILE_AXIS), P(TILE_AXIS), P())
+    out_spec = (P(TILE_AXIS), P(TILE_AXIS), P(), P())
     fn = shard_map(body, mesh=mesh,
                    in_specs=(splat_spec, cam_spec, P(SPLAT_AXIS),
                              scene_args_spec),
                    out_specs=out_spec, check_vma=False)
-    tile_colors, tile_logtrans, overflow = fn(splats, camera, scene_indices,
-                                              scene_args)
+    tile_colors, tile_logtrans, overflow, slab_pairs = fn(
+        splats, camera, scene_indices, scene_args)
+    if return_stats:
+        stats = {"overflow": overflow, "slab_pairs": slab_pairs,
+                 "exchange_capacity": ecap,
+                 "gathered_records": splat_shards * ecap}
+        return tile_colors, tile_logtrans, stats
     if return_overflow:
         return tile_colors, tile_logtrans, overflow
     return tile_colors, tile_logtrans

@@ -4,34 +4,31 @@ reference's CPU sort machinery.
 The reference sorts *all* splats globally on the CPU every time the view
 changes (web worker + WASM counting sort, /root/reference/src/worker/
 sorter.cpp + SortWorker.js), culls with an octree (Viewer.js:1969-2077), and
-renders quads back-to-front.  On TPU we replace all of that with the standard
-tile-binning decomposition, entirely on device and inside one jit:
+renders quads back-to-front.  On TPU all of that collapses into ONE fused
+expand+sort (`bin_sort_records`), entirely on device and inside one jit:
 
 1. every visible splat's screen AABB is expanded into (tile, splat) pairs;
 2. each pair gets a fused key ``tile_id << sort_bits | quantized_depth`` —
    the depth quantization follows the sorter's distance map
-   (sorter.cpp:142-149, 2^sort_bits buckets);
-3. one stable sort of the fused keys (carrying splat ids) yields, per tile,
-   a contiguous front-to-back splat list;
-4. per-tile ranges are recovered with binary searches.
+   (sorter.cpp:142-149, 2^sort_bits buckets) — or a two-operand
+   (tile, depth) key when the bits don't fit an int32;
+3. one stable sort of the keys, with the RECORD FIELDS riding as value
+   operands, yields per-tile contiguous front-to-back record lists;
+4. per-tile ranges are recovered with binary searches over the tile ids.
 
 Pair expansion is GATHER-FREE for typical splats (random gathers are the
 scaling wall on TPU — a 16M-row ownership gather costs ~0.5 s on v5e):
+lane slots cover splats whose rect fits `cfg.lanes` tiles as pure
+elementwise expressions over [N] vectors; bigger splats route through a
+COMPACTED aux ownership table (see the section comment below).
 
-- splats whose tile rect fits ``SMALL_K x SMALL_K`` (the overwhelming
-  majority at real splat sizes) emit exactly K = SMALL_K^2 key slots each,
-  k-major, every key a pure elementwise expression over [N] vectors;
-  out-of-rect slots get the sentinel key and sort to the tail;
-- bigger splats go through a scatter+prefix-sum ownership table over a
-  small auxiliary capacity (``capacity // 4``), where the per-pair row
-  gather is affordable because few splats are big.
-
-Everything is static-shaped for XLA; the sorted list is truncated to
-`capacity` and dropped pairs are counted in ``overflow``.
+Everything is static-shaped for XLA; pairs beyond the aux capacity are
+dropped and counted in ``overflow``.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 
@@ -49,19 +46,6 @@ SMALL_K = 2                     # small-splat rect side, in tiles
 _SENTINEL = np.int32(2147483647)
 
 
-@jax.tree_util.register_dataclass
-@dataclass
-class BinnedPairs:
-    """Sorted (tile, splat) pair lists + per-tile ranges (a JAX pytree)."""
-
-    sorted_splat_idx: jnp.ndarray   # [capacity] int32, splat index per pair
-    pair_valid: jnp.ndarray         # [capacity] bool
-    tile_starts: jnp.ndarray        # [num_tiles] int32 offsets into the list
-    tile_counts: jnp.ndarray        # [num_tiles] int32
-    total_pairs: jnp.ndarray        # [] int32 (pre-overflow-clamp)
-    overflow: jnp.ndarray           # [] int32 pairs dropped due to capacity
-
-
 def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig,
                 ty_lo: int = 0, ty_hi: int | None = None):
     """Inclusive tile-coordinate bounds [tx0, tx1] x [ty0, ty1] per splat.
@@ -73,8 +57,7 @@ def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig,
     if ty_hi is None:
         ty_hi = cfg.tiles_y
     ts = float(cfg.tile_size)
-    x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
-    rx, ry = proj.radius[:, 0], proj.radius[:, 1]
+    x, y, rx, ry = proj.xs, proj.ys, proj.rx, proj.ry
     tx0 = jnp.floor((x - rx) / ts).astype(jnp.int32)
     tx1 = jnp.floor((x + rx) / ts).astype(jnp.int32)
     ty0 = jnp.floor((y - ry) / ts).astype(jnp.int32)
@@ -87,137 +70,6 @@ def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig,
     ty1 = jnp.clip(ty1, ty_lo, ty_hi - 1)
     counts = jnp.where(inside, (tx1 - tx0 + 1) * (ty1 - ty0 + 1), 0)
     return tx0, tx1, ty0, ty1, counts.astype(jnp.int32)
-
-
-def _segment_owner(big: jnp.ndarray, offsets: jnp.ndarray, cap: int,
-                   n: int) -> jnp.ndarray:
-    """Owning SPLAT INDEX for each slot of a segment table.
-
-    ``big`` marks the owning splats; splat i owns slots [offsets[i],
-    offsets[i] + counts[i]).  Scattering the index DELTA between
-    consecutive owners at each segment start makes the running sum
-    reconstruct true splat indices (a plain scatter-ones would only yield
-    owner ordinals).
-    """
-    iota = jnp.arange(offsets.shape[0], dtype=jnp.int32)
-    prev_incl = jax.lax.cummax(jnp.where(big, iota, -1))
-    prev_excl = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
-                                 prev_incl[:-1]])
-    delta = jnp.where(big, iota - prev_excl, 0)
-    marks = jnp.zeros((cap,), jnp.int32).at[
-        jnp.where(big, offsets, cap)].add(delta, mode="drop")
-    return jnp.clip(jnp.cumsum(marks) - 1, 0, n - 1).astype(jnp.int32)
-
-
-def bin_and_sort(proj: ProjectedSplats, cfg: RenderConfig,
-                 capacity: int,
-                 tile_range: tuple | None = None,
-                 depth_bounds: tuple | None = None) -> BinnedPairs:
-    """Expand splats into depth-sorted per-tile pair lists (static shapes).
-
-    Args:
-      tile_range: optional (tile_lo, num_local_tiles) restricting binning to a
-        contiguous range of global tile ids — the tile-sharded multi-chip path
-        gives each device its own range.  Output tile ids are range-relative.
-      depth_bounds: optional (dmin, dmax) scalars for the depth quantization
-        range; multi-chip callers pass globally-reduced bounds so every shard
-        quantizes identically.
-
-    Tile ranges start at arbitrary offsets; the Pallas compositor reads
-    floor-aligned chunks and masks each tile's [start, start + count)
-    window, so no padded re-layout is needed.
-    """
-    if tile_range is None:
-        tile_lo, num_tiles = 0, cfg.num_tiles
-    else:
-        tile_lo, num_tiles = tile_range
-    tile_bits = max(1, (num_tiles - 1).bit_length())
-    assert tile_bits + cfg.sort_bits <= 31, (
-        f"tile bits ({tile_bits}) + sort bits ({cfg.sort_bits}) must fit an "
-        f"int32 key; lower sort_bits or use larger tiles")
-
-    if tile_range is not None:
-        # tile_lo may be a traced per-device value (axis_index * local_tiles);
-        # alignment to whole tile rows is the caller's contract.
-        assert num_tiles % cfg.tiles_x == 0, (
-            "tile_range must cover whole tile rows")
-        if isinstance(tile_lo, int):
-            assert tile_lo % cfg.tiles_x == 0, (
-                "tile_range must start on a tile-row boundary")
-        ty_lo = tile_lo // cfg.tiles_x
-        ty_hi = ty_lo + num_tiles // cfg.tiles_x
-    else:
-        ty_lo, ty_hi = 0, cfg.tiles_y
-
-    n = proj.opacity.shape[0]
-    tx0, tx1, ty0, ty1, counts = tile_bounds(proj, cfg, ty_lo, ty_hi)
-    depth_q = quantize_depth(proj.depth, proj.mask, cfg.sort_bits,
-                             depth_bounds)
-
-    width = tx1 - tx0 + 1
-    height = ty1 - ty0 + 1
-    small = (counts > 0) & (width <= SMALL_K) & (height <= SMALL_K)
-    big = (counts > 0) & ~small
-
-    # --- small splats: K elementwise key lanes, no gathers ---------------
-    iota_n = jnp.arange(n, dtype=jnp.int32)
-    small_keys = []
-    for k in range(SMALL_K * SMALL_K):
-        dy, dx = k // SMALL_K, k % SMALL_K
-        in_rect = small & (dx < width) & (dy < height)
-        tile_k = (ty0 + dy) * cfg.tiles_x + (tx0 + dx) - tile_lo
-        key_k = jnp.where(in_rect, (tile_k << cfg.sort_bits) | depth_q,
-                          _SENTINEL)
-        small_keys.append(key_k)
-    keys_small = jnp.concatenate(small_keys)             # [K*N] k-major
-    splat_small = jnp.tile(iota_n, SMALL_K * SMALL_K)
-
-    # --- big splats: ownership table over a small auxiliary capacity -----
-    big_capacity = max(256, capacity // 4)
-    counts_big = jnp.where(big, counts, 0)
-    offsets_big = jnp.cumsum(counts_big) - counts_big
-    total_big = offsets_big[-1] + counts_big[-1]
-    slots_b = jnp.arange(big_capacity, dtype=jnp.int32)
-    splat_of_b = _segment_owner(big, offsets_big, big_capacity, n)
-    packed = jnp.stack([offsets_big, width, tx0, ty0, depth_q], axis=1)
-    prow = packed[splat_of_b]
-    rank = slots_b - prow[:, 0]
-    bw = prow[:, 1]
-    bdy, bdx = rank // bw, rank % bw
-    tile_b = (prow[:, 3] + bdy) * cfg.tiles_x + (prow[:, 2] + bdx) - tile_lo
-    valid_b = slots_b < jnp.minimum(total_big, big_capacity)
-    key_b = jnp.where(valid_b, (tile_b << cfg.sort_bits) | prow[:, 4],
-                      _SENTINEL)
-
-    # --- one fused sort over both populations ----------------------------
-    keys = jnp.concatenate([keys_small, key_b])
-    splat_arr = jnp.concatenate([splat_small, splat_of_b])
-    sorted_key, sorted_idx = jax.lax.sort(
-        (keys, splat_arr), dimension=0, num_keys=1, is_stable=True)
-    sorted_key = sorted_key[:capacity]
-    sorted_idx = sorted_idx[:capacity]
-    sorted_tile = jnp.where(sorted_key == _SENTINEL, jnp.int32(num_tiles),
-                            sorted_key >> cfg.sort_bits)
-
-    total_small = jnp.sum(jnp.where(small, counts, 0))
-    total = total_small + total_big
-    overflow = (jnp.maximum(total - capacity, 0)
-                + jnp.maximum(total_big - big_capacity, 0))
-
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tile_ids,
-                              side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tile_ids,
-                            side="right").astype(jnp.int32)
-
-    return BinnedPairs(
-        sorted_splat_idx=sorted_idx,
-        pair_valid=sorted_key != _SENTINEL,
-        tile_starts=starts,
-        tile_counts=ends - starts,
-        total_pairs=total,
-        overflow=overflow,
-    )
 
 
 # ===========================================================================
@@ -305,6 +157,11 @@ def _pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     would flush small cotangents to zero)."""
     def q(v):
         u = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        # Clamp magnitude to bf16-max (0x7F7F____) BEFORE rounding: finite
+        # f32 above ~3.3895e38 would otherwise round to +/-inf and poison
+        # the downstream scatter-add.
+        mag = jnp.minimum(u & jnp.uint32(0x7FFFFFFF), jnp.uint32(0x7F7F7FFF))
+        u = (u & jnp.uint32(0x80000000)) | mag
         u = u + 0x7FFF + ((u >> 16) & 1)          # round to nearest even
         return u >> 16
     return ((q(hi) << 16) | q(lo)).astype(jnp.int32)
@@ -329,6 +186,64 @@ def _unpack_u16_pair(packed: jnp.ndarray):
     inv = 1.0 / _F16_SCALE
     return ((u >> 16).astype(jnp.float32) * inv,
             (u & 0xFFFF).astype(jnp.float32) * inv)
+
+
+# --- packed-mode (view/serving) codecs -----------------------------------
+# u8 log-scale support-radius code: ~3.3% relative steps over [0, 4096] px.
+# The box only ever INFLATES through the codec (ceil), which is lossless —
+# extra box slack admits only pixels the alpha cutoffs reject — and the
+# -1e-6 guard makes encode(decode(code)) == code (idempotent), so the
+# rect-building decode in bin_sort_records and the post-sort unpack see
+# the identical value.
+_RAD_LOG = 255.0 / float(np.log2(4097.0))
+
+
+def _rad_encode_u8(r: jnp.ndarray) -> jnp.ndarray:
+    code = jnp.ceil((jnp.log2(1.0 + jnp.maximum(r, 0.0)) - 1e-6) * _RAD_LOG)
+    return jnp.clip(code, 0.0, 255.0).astype(jnp.uint32)
+
+
+def _rad_decode_u8(code: jnp.ndarray) -> jnp.ndarray:
+    r = jnp.exp2(code.astype(jnp.float32) * (1.0 / _RAD_LOG)) - 1.0
+    return jnp.where(code == 0, 0.0, r)
+
+
+_COLOR_U8_SCALE = 127.5   # color channel step 1/127.5 over [0, 2]
+
+
+def _pack_rgba8(r, g, b, a) -> jnp.ndarray:
+    """(r, g, b) in [0, 2] at u8 + opacity in [0, 1] at u8 -> one int32.
+
+    The reference's own serving fidelity: its color data texture stores
+    base RGBA as u8 texels (SplatMesh.js setupDataTextures) and its
+    fragment discard threshold is 1/255."""
+    def q(v, s):
+        return jnp.clip(jnp.round(v * s), 0.0, 255.0).astype(jnp.uint32)
+    return ((q(r, _COLOR_U8_SCALE) << 24) | (q(g, _COLOR_U8_SCALE) << 16)
+            | (q(b, _COLOR_U8_SCALE) << 8) | q(a, 255.0)).astype(jnp.int32)
+
+
+def _unpack_rgba8(packed: jnp.ndarray):
+    u = packed.astype(jnp.uint32)
+    inv = 1.0 / _COLOR_U8_SCALE
+    return (((u >> 24) & 0xFF).astype(jnp.float32) * inv,
+            ((u >> 16) & 0xFF).astype(jnp.float32) * inv,
+            ((u >> 8) & 0xFF).astype(jnp.float32) * inv,
+            (u & 0xFF).astype(jnp.float32) * (1.0 / 255.0))
+
+
+def _pack_f16u8u8(cc, rx, ry) -> jnp.ndarray:
+    """f16 payload in the high half + two u8 log-radius codes below."""
+    h = jax.lax.bitcast_convert_type(cc.astype(jnp.float16), jnp.uint16)
+    return ((h.astype(jnp.uint32) << 16) | (_rad_encode_u8(rx) << 8)
+            | _rad_encode_u8(ry)).astype(jnp.int32)
+
+
+def _unpack_f16u8u8(packed: jnp.ndarray):
+    u = packed.astype(jnp.uint32)
+    cc = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16),
+                                      jnp.float16).astype(jnp.float32)
+    return cc, _rad_decode_u8((u >> 8) & 0xFF), _rad_decode_u8(u & 0xFF)
 
 
 @jax.tree_util.register_dataclass
@@ -451,10 +366,18 @@ def _pack_fields(pack_plan, fields):
             phys.append(f if f.dtype == jnp.int32
                         else jax.lax.bitcast_convert_type(f, jnp.int32))
             continue
+        if kind == "rgba8":
+            phys.append(_pack_rgba8(*(fields[k] for k in spec[1:5])))
+            continue
+        if kind == "f16u8u8":
+            phys.append(_pack_f16u8u8(*(fields[k] for k in spec[1:4])))
+            continue
         j = spec[2]
         lo = fields[j] if j >= 0 else jnp.zeros_like(fields[i])
         if kind == "f16":
             phys.append(_pack_f16_pair(fields[i], lo))
+        elif kind == "u16r":
+            phys.append(_pack_u16_pair(fields[i], lo))
         else:
             phys.append(_pack_px_pair(fields[i], lo, spec[3]))
     return pack_plan, phys
@@ -470,9 +393,19 @@ def _unpack_fields(pack_plan, fields, sorted_phys):
             out[i] = (v if f.dtype == jnp.int32
                       else jax.lax.bitcast_convert_type(v, f.dtype))
             continue
+        if kind == "rgba8":
+            for k, val in zip(spec[1:5], _unpack_rgba8(v)):
+                out[k] = val
+            continue
+        if kind == "f16u8u8":
+            for k, val in zip(spec[1:4], _unpack_f16u8u8(v)):
+                out[k] = val
+            continue
         j = spec[2]
         if kind == "f16":
             hi, lo = _unpack_f16_pair(v)
+        elif kind == "u16r":
+            hi, lo = _unpack_u16_pair(v)
         else:
             hi, lo = _unpack_px_pair(v, spec[3])
         out[i] = hi
@@ -483,7 +416,29 @@ def _unpack_fields(pack_plan, fields, sorted_phys):
 
 def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, tile_lo,
                      depth_q, tx0, ty0, wt, ht, counts, *fields):
-    fields = list(fields)
+    out, (sorted_slot, n, big_c, counts_c, offs_c) = _expand_sort_core(
+        cfg, num_tiles, aux_cap, pack_plan, tile_lo, depth_q, tx0, ty0,
+        wt, ht, counts, list(fields), carry_slot=True)
+    return out, (sorted_slot, _StaticInt(n), big_c, counts_c, offs_c)
+
+
+def expand_sort_fwdonly(cfg, num_tiles: int, aux_cap: int, pack_plan,
+                        tile_lo, depth_q, tx0, ty0, wt, ht, counts,
+                        *fields):
+    """Forward-only fused expand+sort: no slot operand, no residuals.
+
+    One fewer value operand on the dominant sort than the differentiable
+    path (the sorted-slot permutation exists only to align gradients in
+    the backward).  Outputs are stop-gradiented: callers wanting gradients
+    must use the custom-VJP `_expand_sort` (cfg.forward_only=False)."""
+    out, _ = _expand_sort_core(cfg, num_tiles, aux_cap, pack_plan, tile_lo,
+                               depth_q, tx0, ty0, wt, ht, counts,
+                               list(fields), carry_slot=False)
+    return tuple(jax.lax.stop_gradient(o) for o in out)
+
+
+def _expand_sort_core(cfg, num_tiles, aux_cap, pack_plan, tile_lo,
+                      depth_q, tx0, ty0, wt, ht, counts, fields, carry_slot):
     pack_plan, phys = _pack_fields(pack_plan, fields)
     n = fields[0].shape[0]
     lanes = cfg.lanes
@@ -527,30 +482,41 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, tile_lo,
             big_c = jnp.pad(big_c, (0, b_cap - n))
         n_big = jnp.sum(big.astype(jnp.int32))
         vb = jnp.arange(b_cap, dtype=jnp.int32) < n_big
-        counts_c = jnp.where(vb, counts_aux[big_c], 0)    # [B]
+
+        # COMPACT per-big-splat table: one [B]-row gather pulls counts +
+        # rect + depth + every physical record operand for each big splat
+        # (the per-field 1-wide gathers this replaces were the 8M-scene
+        # profile's single biggest non-sort cost).
+        aux_tbl = jnp.stack(
+            [counts_aux, wt, tx0, ty0, depth_q] + phys, axis=1)  # [N, 5+F]
+        tbl_c = aux_tbl[big_c]                            # [B, 5 + F]
+        counts_c = jnp.where(vb, tbl_c[:, 0], 0)          # [B]
         offs_c = jnp.cumsum(counts_c) - counts_c
         covered = offs_c[-1] + counts_c[-1]               # pairs in table
 
         iota_aux = jnp.arange(aux_cap, dtype=jnp.int32)
-        marks = jnp.zeros((aux_cap,), jnp.int32).at[
-            jnp.where(counts_c > 0, offs_c, aux_cap)].add(1, mode="drop")
+        # offs_c is non-decreasing (cumsum of non-negatives), so the
+        # segment-start scatter and every gather below ride XLA's
+        # sorted-indices fast path; zero-valued adds at repeated offsets
+        # keep the mark sum exact without breaking sortedness.
+        marks = jnp.zeros((aux_cap,), jnp.int32).at[offs_c].add(
+            jnp.where(counts_c > 0, 1, 0), mode="drop",
+            indices_are_sorted=True)
         ord_c = jnp.clip(jnp.cumsum(marks) - 1, 0, b_cap - 1)
-        # Pair -> owning splat / segment start via two cheap 1-wide gathers
-        # over the aux range, then ONE row gather pulls each pair's whole
-        # record (1-wide per-field gathers are ~6x costlier per index).
-        splat_of = big_c[ord_c]                           # [aux_cap]
-        off_of = offs_c[ord_c]                            # [aux_cap]
-
-        aux_tbl = jnp.stack(
-            [wt, tx0, ty0, depth_q] + phys, axis=1)       # [N, 4 + F]
-        prow = aux_tbl[splat_of]                          # [aux_cap, 4 + F]
-        rank = iota_aux - off_of
-        bw = jnp.maximum(prow[:, 0], 1)
+        # ord_c is non-decreasing: ONE row gather over the COMPACT table
+        # (with the segment offset riding as column 0) replaces the
+        # per-pair splat-id and offset gathers entirely.
+        prow_tbl = jnp.concatenate(
+            [offs_c[:, None], tbl_c[:, 1:]], axis=1)      # [B, 5 + F]
+        prow = prow_tbl.at[ord_c].get(
+            indices_are_sorted=True)                      # [aux_cap, 5 + F]
+        rank = iota_aux - prow[:, 0]
+        bw = jnp.maximum(prow[:, 1], 1)
         bdy, bdx = rank // bw, rank % bw
-        tile_a = (prow[:, 2] + bdy) * tiles_x + (prow[:, 1] + bdx) - tile_lo
+        tile_a = (prow[:, 3] + bdy) * tiles_x + (prow[:, 2] + bdx) - tile_lo
         valid_a = iota_aux < jnp.minimum(covered, aux_cap)
-        depth_a = prow[:, 3]
-        aux_vals = [prow[:, 4 + i] for i in range(len(phys))]
+        depth_a = prow[:, 4]
+        aux_vals = [prow[:, 5 + i] for i in range(len(phys))]
         dropped = total_aux - jnp.minimum(covered, aux_cap)
     else:
         aux_vals = None
@@ -568,8 +534,9 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, tile_lo,
             parts.append(jnp.zeros((pad,), jnp.int32))
         return jnp.concatenate(parts)
 
-    slot = jnp.arange(s_total, dtype=jnp.int32)
-    ops = (slot,) + tuple(cat(i, op) for i, op in enumerate(phys))
+    ops = tuple(cat(i, op) for i, op in enumerate(phys))
+    if carry_slot:
+        ops = (jnp.arange(s_total, dtype=jnp.int32),) + ops
 
     def cat_keys(lane_keys, aux_key, pad_key):
         parts = list(lane_keys)
@@ -611,8 +578,12 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, tile_lo,
         sorted_tile = sorted_ops[0]
         vals = sorted_ops[2:]
 
-    sorted_slot = vals[0]
-    sorted_fields = _unpack_fields(pack_plan, fields, vals[1:])
+    if carry_slot:
+        sorted_slot = vals[0]
+        vals = vals[1:]
+    else:
+        sorted_slot = None
+    sorted_fields = _unpack_fields(pack_plan, fields, vals)
     pair_valid = sorted_tile < num_tiles
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
@@ -627,8 +598,7 @@ def _expand_sort_fwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, tile_lo,
 
     out = tuple(sorted_fields) + (pair_valid, starts, ends - starts,
                                   total, overflow)
-    residuals = (sorted_slot, _StaticInt(n), big_c, counts_c, offs_c)
-    return out, residuals
+    return out, (sorted_slot, n, big_c, counts_c, offs_c)
 
 
 def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, residuals,
@@ -648,10 +618,11 @@ def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, residuals,
     # table, scattered back to the [N] owners with 1-wide adds.  Cotangents
     # ride as int32 bit patterns (same fast-sort-path trick as forward).
     # Under mixed/packed record precision, cotangent PAIRS ride as bf16
-    # payloads in one int32 each (9 -> 5 value passes off the dominant
-    # alignment sort; bf16 keeps f32's exponent range so no gradient
-    # magnitude is flushed, and the ~2^-8 relative rounding is of the
-    # same fidelity class as the forward's own f16 record packing).
+    # payloads in one int32 each (9 cotangents -> 6 value operands: 2 raw
+    # + 3 packed pairs + 1 unpaired tail; bf16 keeps f32's exponent range
+    # so no gradient magnitude is flushed, and the ~2^-8 relative rounding
+    # is of the same fidelity class as the forward's own f16 record
+    # packing).
     if cfg.record_precision == "f32":
         raw_count = n_diff           # everything exact
     else:
@@ -666,9 +637,13 @@ def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, residuals,
         pairs_plan.append((a, a + 1))
     if (n_diff - raw_count) % 2:
         ops.append(jax.lax.bitcast_convert_type(g_fields[-1], jnp.int32))
+    # sorted_slot is a PERMUTATION (unique keys), so an unstable sort is
+    # deterministic and identical — and spares the hidden iota tiebreaker
+    # operand XLA appends to stable sorts (one full value pass, visible as
+    # an extra s32[S] operand in the device trace).
     aligned_raw = jax.lax.sort(
         tuple([sorted_slot] + ops), dimension=0, num_keys=1,
-        is_stable=True)[1:]
+        is_stable=False)[1:]
     aligned = [None] * n_diff
     for a in range(raw_count):
         aligned[a] = jax.lax.bitcast_convert_type(aligned_raw[a], jnp.float32)
@@ -694,9 +669,15 @@ def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, residuals,
              jnp.cumsum(g_aux, axis=0)], axis=0)
         starts_i = jnp.minimum(offs_c, aux_cap)
         ends_i = jnp.minimum(offs_c + counts_c, aux_cap)
-        seg = prefix[ends_i] - prefix[starts_i]            # [B, n_diff]
+        # offsets are non-decreasing and owners ascend (stable compaction
+        # emits big-splat ids in order, invalid tail -> n): sorted-index
+        # fast paths for both the segment gathers and the owner scatter.
+        seg = (prefix.at[ends_i].get(indices_are_sorted=True)
+               - prefix.at[starts_i].get(
+                   indices_are_sorted=True))               # [B, n_diff]
         owner = jnp.where(counts_c > 0, big_c, n)
-        d = [d[i].at[owner].add(seg[:, i], mode="drop")
+        d = [d[i].at[owner].add(seg[:, i], mode="drop",
+                                indices_are_sorted=True)
              for i in range(n_diff)]
 
     # Nones: tile_lo, depth_q, tx0, ty0, wt, ht, counts (integer plumbing),
@@ -714,13 +695,16 @@ def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
                      aux_capacity: int | None = None) -> SortedPairs:
     """Expand splats into depth-sorted per-tile pair RECORDS in one sort.
 
-    The fused replacement for ``bin_and_sort`` + the post-sort record
-    gather: record fields ride the sort as value operands (see the module
-    section comment).  Returns sorted flat field arrays of static length
-    S = 2N + aux_capacity plus per-tile ranges.
+    Record fields ride the ONE stable pair sort as value operands (see
+    the module section comment) — no post-sort record gather.  Returns
+    sorted flat field arrays of static length S = lanes*N + aux_capacity
+    (+ pad) plus per-tile ranges.
 
-    ``tile_range`` / ``depth_bounds`` follow :func:`bin_and_sort`'s
-    contract (the tile-sharded multi-chip path's slab windows).
+    ``tile_range``: optional (tile_lo, num_local_tiles) restricting
+    binning to a contiguous range of whole tile rows — the tile-sharded
+    multi-chip path's per-device slab; output tile ids are range-relative.
+    ``depth_bounds``: optional (dmin, dmax) scalars so sharded callers
+    quantize depth identically on every shard.
     """
     if tile_range is None:
         tile_lo, num_tiles = 0, cfg.num_tiles
@@ -745,13 +729,10 @@ def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
     ht = ty1 - ty0 + 1
 
     si = jax.lax.stop_gradient
-    # The radius rides as u16 fixed point — it is a hard gradient-free
-    # cutoff and projection already quantized it to 1/16 px.
-    prr = _pack_u16_pair(si(proj.radius[:, 0]), si(proj.radius[:, 1]))
     diff_fields = [
-        proj.mean2d[:, 0], proj.mean2d[:, 1],
-        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-        proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
+        proj.xs, proj.ys,
+        proj.conic_a, proj.conic_b, proj.conic_c,
+        proj.col_r, proj.col_g, proj.col_b,
         proj.opacity]
     di = -1
     if cfg.return_depth:
@@ -760,36 +741,57 @@ def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
         # in the compositor's matmul).
         di = len(diff_fields)
         diff_fields.append(jnp.where(proj.mask, proj.depth, 0.0))
-    ri = len(diff_fields)                     # prr (non-diff, already int32)
+    # The support radius is a hard gradient-free cutoff (the reference's
+    # clamped-quad semantics); projection quantized it to 1/16 px already.
+    # In packed mode it is further quantized through the idempotent u8 log
+    # codec, and the SAME decoded value feeds both the tile rects (via the
+    # replaced proj.radius above) and the ridden record — the box contract
+    # that keeps binning lossless against the compositor cutoffs.
+    rx, ry = si(proj.rx), si(proj.ry)
+    if cfg.record_precision == "packed":
+        rx = _rad_decode_u8(_rad_encode_u8(rx))
+        ry = _rad_decode_u8(_rad_encode_u8(ry))
+        proj_q = dataclasses.replace(proj, rx=rx, ry=ry)
+        tx0, tx1, ty0, ty1, counts = tile_bounds(proj_q, cfg, ty_lo, ty_hi)
+        wt = tx1 - tx0 + 1
+        ht = ty1 - ty0 + 1
+    rix = len(diff_fields)                    # rx, ry (non-diff)
+    riy = rix + 1
     # Field -> sort-operand layout (each dropped operand is a full value
     # pass off the sort; gradients are straight-through regardless):
-    #   f32:    everything exact (finite-difference-grade; grad-check tests)
-    #   mixed:  color/opacity as f16 pairs (12 -> 10 operands) — still above
-    #           the reference's fidelity, which stores color as u8 texels
-    #           (SplatMesh.js color texture) and covariance as f16
-    #   packed: geometry too — positions 1/8-px u16 fixed point, conic f16
-    #           (12 -> 8 operands) — the view/serving mode, comparable to
-    #           the reference's compressed .ksplat levels (f16 centers)
+    #   f32:    every field exact (finite-difference-grade; grad-check
+    #           tests) — 10-11 physical operands
+    #   mixed:  geometry exact; color/opacity as f16 pairs (8-9 operands)
+    #           — still above the reference's fidelity, which stores color
+    #           as u8 texels (SplatMesh.js color texture)
+    #   packed: the view/serving mode (4-5 operands) — positions u16 fixed
+    #           point (1/16 px up to ~2K viewports, 1/8 px beyond), conic
+    #           f16, color+opacity u8 (the reference's u8 color texels /
+    #           1/255 discard threshold), support box u8 log steps
     if cfg.record_precision == "f32":
-        plan = None
+        plan = tuple(("raw", i) for i in range(len(diff_fields))) + (
+            ("u16r", rix, riy),)
     elif cfg.record_precision == "mixed":
         plan = tuple(("raw", i) for i in range(5)) + (
             ("f16", 5, 6), ("f16", 7, 8)) + (
-            (("raw", di),) if di >= 0 else ()) + (("raw", ri),)
+            (("raw", di),) if di >= 0 else ()) + (("u16r", rix, riy),)
     else:   # "packed"
         plan = (("px", 0, 1, _px_scale_for(cfg)), ("f16", 2, 3),
-                ("f16", 4, 8), ("f16", 5, 6), ("f16", 7, di), ("raw", ri))
-    out = _expand_sort(
-        cfg, num_tiles, aux_capacity, len(diff_fields), plan,
-        jnp.asarray(tile_lo, jnp.int32), depth_q,
-        tx0, ty0, wt, ht, counts, *diff_fields, prr)
-    nf = len(diff_fields) + 1
+                ("f16u8u8", 4, rix, riy), ("rgba8", 5, 6, 7, 8)) + (
+            (("f16", di, -1),) if di >= 0 else ())
+    args = (cfg, num_tiles, aux_capacity, len(diff_fields), plan,
+            jnp.asarray(tile_lo, jnp.int32), depth_q,
+            tx0, ty0, wt, ht, counts) + tuple(diff_fields) + (rx, ry)
+    if cfg.forward_only:
+        out = expand_sort_fwdonly(*args[:3], *args[4:])
+    else:
+        out = _expand_sort(*args)
+    nf = len(diff_fields) + 2
     sorted_fields = out[:nf]
     (xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas) = sorted_fields[:9]
     depths = sorted_fields[9] if cfg.return_depth else None
-    prr_s = sorted_fields[nf - 1]
+    rxs, rys = sorted_fields[nf - 2], sorted_fields[nf - 1]
     pair_valid, starts, tcounts, total, overflow = out[nf:]
-    rxs, rys = _unpack_u16_pair(prr_s)
     opas = jnp.where(pair_valid, opas, 0.0)
     return SortedPairs(xs=xs, ys=ys, cas=cas, cbs=cbs, ccs=ccs,
                        crs=crs, cgs=cgs, cbs2=cbs2, opas=opas,

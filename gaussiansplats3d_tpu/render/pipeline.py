@@ -6,8 +6,9 @@ draw, /root/reference/src/Viewer.js:1833-1964 + src/worker/sorter.cpp +
 src/splatmesh/SplatMaterial3D.js): a single jitted function containing
 
 1. ``project_splats``  — fused EWA projection + SH shading (splat-parallel)
-2. ``bin_and_sort``    — (tile, splat) pair expansion + one radix sort of
-                         fused ``tile << sort_bits | depth`` keys
+2. ``bin_sort_records`` — fused (tile, splat) pair expansion + one stable
+                         sort of ``tile << sort_bits | depth`` keys with the
+                         record fields riding as value operands
 3. ``rasterize_pairs`` — per-tile front-to-back compositing (custom VJP)
 4. tile assembly       — [T, P, 3] tile blocks -> [H, W, 3] image
 
@@ -25,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.types import Camera, RenderConfig, SplatData
-from .binning import BinnedPairs, SortedPairs, bin_and_sort, bin_sort_records
+from .binning import SortedPairs, bin_sort_records
 from .projection import ProjectedSplats, project_splats
 from .rasterize import rasterize_pairs
 
@@ -70,98 +71,6 @@ def composite_sorted(cfg: RenderConfig, pairs: SortedPairs,
         pairs.opas,
         jnp.stack([pairs.rxs, pairs.rys], axis=1),
         pairs.tile_starts, pairs.tile_counts, tile_base)
-
-
-def composite_pairs(cfg: RenderConfig, capacity: int, rec,
-                    tile_starts, tile_counts, tile_base, num_tiles: int):
-    """Backend dispatch for the tile compositor.
-
-    ``rec``: [capacity, 16] packed pair records (pack_splat_table layout).
-    Returns (tile_colors [T, P, 3], tile_logtrans [T, P]).
-    """
-    if resolve_backend(cfg) == "pallas":
-        from .pallas_rasterize import composite_tiles
-        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32) + tile_base
-        return composite_tiles(cfg, capacity, rec.T,
-                               tile_starts, tile_counts, tile_ids)
-    return rasterize_pairs(cfg, capacity, rec[:, 0:2], rec[:, 2:5],
-                           rec[:, 5:8], rec[:, 8], rec[:, 9:11],
-                           tile_starts, tile_counts, tile_base)
-
-
-RECORD_WIDTH = 16
-_OPACITY_COL = 8
-
-
-def pack_splat_table(proj: ProjectedSplats) -> jnp.ndarray:
-    """Per-splat [N, 16] record table (differentiable packing).
-
-    Columns 0-1 mean2d, 2-4 conic, 5-7 rgb, 8 opacity, 9-10 support radius
-    (stop-gradient: hard cutoff), 11-15 zero padding — the same layout the
-    Pallas compositor consumes (pallas_rasterize docstring).
-    """
-    n = proj.opacity.shape[0]
-    return jnp.concatenate([
-        proj.mean2d, proj.conic, proj.color, proj.opacity[:, None],
-        jax.lax.stop_gradient(proj.radius),
-        jnp.zeros((n, RECORD_WIDTH - 11), jnp.float32)], axis=1)
-
-
-@jax.custom_vjp
-def gather_records(table, idx, valid):
-    """records[cap, 16] = table[idx] with invalid slots' opacity zeroed.
-
-    The custom VJP avoids XLA scatter-adds (hundreds of ms for multi-column
-    rows on TPU): pair-gradients are re-grouped by SPLAT ID with one key
-    sort + row gather, then reduced per splat with a cumulative-sum segment
-    difference whose boundaries come from binary searches over the sorted
-    ids.  Invalid slots carry zero gradients (the compositor never writes
-    them), so aliased ids are harmless.
-    """
-    rec = table[jnp.clip(idx, 0, table.shape[0] - 1)]
-    return rec.at[:, _OPACITY_COL].multiply(valid)
-
-
-def _gather_records_fwd(table, idx, valid):
-    return (gather_records(table, idx, valid),
-            (idx, valid, table.shape[0]))
-
-
-def _gather_records_bwd(res, g):
-    idx, valid, n = res
-    cap = idx.shape[0]
-    g = g.at[:, _OPACITY_COL].multiply(valid)
-    g = jnp.where(valid[:, None], g, 0.0)
-    key = jnp.where(valid, idx, n)      # invalid -> tail
-    _, inv = jax.lax.sort(
-        (key, jnp.arange(cap, dtype=jnp.int32)),
-        dimension=0, num_keys=1, is_stable=True)
-    g_grouped = g[inv]
-    prefix = jnp.cumsum(g_grouped, axis=0)
-    prefix = jnp.concatenate(
-        [jnp.zeros((1, g.shape[1]), g.dtype), prefix], axis=0)
-    # Per-splat segment boundaries from a 1-wide histogram scatter (a
-    # searchsorted here would cost ~20 random-gather passes over [cap]).
-    retained = jnp.zeros((n + 1,), jnp.int32).at[key].add(1, mode="drop")
-    ends = jnp.cumsum(retained[:n])
-    starts = ends - retained[:n]
-    g_table = prefix[ends] - prefix[starts]
-    return g_table, None, None
-
-
-gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
-
-
-def gather_pair_records(proj: ProjectedSplats, pairs: BinnedPairs):
-    """Build the sorted per-pair record arrays the compositor consumes.
-
-    Invalid (beyond-total) pair slots get opacity 0 so they contribute
-    nothing regardless of which splat index they alias.
-    """
-    table = pack_splat_table(proj)
-    rec = gather_records(table, pairs.sorted_splat_idx, pairs.pair_valid)
-    return (rec[:, 0:2], rec[:, 2:5], rec[:, 5:8], rec[:, 8],
-            rec[:, 9:11])
 
 
 def assemble_image(tile_colors: jnp.ndarray, tile_logtrans: jnp.ndarray,

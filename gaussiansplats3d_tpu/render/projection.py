@@ -53,28 +53,58 @@ from ..core.types import Camera, RenderConfig, SplatData, derive_focal
 class ProjectedSplats:
     """Per-splat screen-space quantities (a JAX pytree).
 
-    All arrays have leading dimension N.  Culled splats have ``opacity == 0``
-    and ``radius == 0`` so they bin nowhere and contribute nothing.
+    Every field is a FLAT [N] array: XLA:TPU lane-pads [N, k] arrays with
+    k << 128 to full (8, 128) register tiles, so the stacked [N, 2]/[N, 3]
+    form this replaced cost a measured ~30 ms/frame of pure layout-copy
+    churn at 2M splats across the projection -> binning custom-vjp
+    boundary.  The ``mean2d``/``conic``/``color``/``radius`` properties
+    provide the stacked views for oracles/tests; hot paths consume the
+    flat fields directly.
+
+    Culled splats have ``opacity == 0`` and ``rx == ry == 0`` so they bin
+    nowhere and contribute nothing.
     """
 
-    mean2d: jnp.ndarray    # [N, 2] pixel coords (GL orientation, y up)
-    conic: jnp.ndarray     # [N, 3] (a, b, c): G = a dx^2 + 2 b dx dy + c dy^2
-    color: jnp.ndarray     # [N, 3] view-dependent RGB
+    xs: jnp.ndarray        # [N] pixel x (GL orientation, y up)
+    ys: jnp.ndarray        # [N] pixel y
+    conic_a: jnp.ndarray   # [N] G = a dx^2 + 2 b dx dy + c dy^2
+    conic_b: jnp.ndarray   # [N]
+    conic_c: jnp.ndarray   # [N]
+    col_r: jnp.ndarray     # [N] view-dependent RGB
+    col_g: jnp.ndarray     # [N]
+    col_b: jnp.ndarray     # [N]
     opacity: jnp.ndarray   # [N]
     depth: jnp.ndarray     # [N] clip-space z (pre-divide), +inf when culled
-    radius: jnp.ndarray    # [N, 2] conservative pixel AABB half-extents
+    rx: jnp.ndarray        # [N] conservative pixel AABB half-extent x
+    ry: jnp.ndarray        # [N]
     mask: jnp.ndarray      # [N] bool visibility
 
+    @property
+    def mean2d(self) -> jnp.ndarray:
+        return jnp.stack([self.xs, self.ys], axis=1)
 
-def _eval_covariance2d(cov2d: jnp.ndarray, cfg: RenderConfig):
+    @property
+    def conic(self) -> jnp.ndarray:
+        return jnp.stack([self.conic_a, self.conic_b, self.conic_c], axis=1)
+
+    @property
+    def color(self) -> jnp.ndarray:
+        return jnp.stack([self.col_r, self.col_g, self.col_b], axis=1)
+
+    @property
+    def radius(self) -> jnp.ndarray:
+        return jnp.stack([self.rx, self.ry], axis=1)
+
+
+def _eval_covariance2d(a0, b0, c0, cfg: RenderConfig):
     """Dilate the 2x2 covariance and compute compensation + eigen extents.
 
-    Returns (cov_eval3 (a, b, c) incl. splat_scale^2, compensation,
-    (ax, ay), valid) where (ax, ay) are the per-axis 1-sigma pixel extents
-    sqrt(Sigma_xx), sqrt(Sigma_yy) of the *evaluated* covariance —
-    :func:`project_splats` assembles the support box from them once the
-    final opacity is known (opacity-tightened cutoff)."""
-    a0, b0, c0 = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    Takes and returns FLAT [N] triples (see the ProjectedSplats layout
+    note).  Returns ((a, b, c) evaluated covariance incl. splat_scale^2,
+    compensation, (ax, ay), valid) where (ax, ay) are the per-axis 1-sigma
+    pixel extents sqrt(Sigma_xx), sqrt(Sigma_yy) of the *evaluated*
+    covariance — :func:`project_splats` assembles the support box from
+    them once the final opacity is known (opacity-tightened cutoff)."""
     det_orig = a0 * c0 - b0 * b0
     a = a0 + cfg.kernel_2d_size
     c = c0 + cfg.kernel_2d_size
@@ -112,7 +142,7 @@ def _eval_covariance2d(cov2d: jnp.ndarray, cfg: RenderConfig):
     else:
         a_eval, b_eval, c_eval = a, b, c
     s2 = s * s
-    cov_eval = jnp.stack([a_eval * s2, b_eval * s2, c_eval * s2], axis=-1)
+    cov_eval = (a_eval * s2, b_eval * s2, c_eval * s2)
 
     ax = jnp.sqrt(jnp.maximum(a_eval, 0.0)) * s
     ay = jnp.sqrt(jnp.maximum(c_eval, 0.0)) * s
@@ -120,7 +150,8 @@ def _eval_covariance2d(cov2d: jnp.ndarray, cfg: RenderConfig):
 
 
 def support_radius(ax, ay, opacity, cfg: RenderConfig):
-    """[N, 2] support-box half-extents from 1-sigma extents + final opacity.
+    """Flat [N] (rx, ry) support-box half-extents from 1-sigma extents +
+    final opacity.
 
     The box is the AABB of the G = G_eff ellipse of the evaluated
     covariance, (sqrt(G_eff Sigma_xx), sqrt(G_eff Sigma_yy)), where
@@ -152,15 +183,14 @@ def support_radius(ax, ay, opacity, cfg: RenderConfig):
     ry = jnp.minimum(r_fac * ay, max_ext)
     rx = jnp.minimum(jnp.ceil(rx * 16.0) * (1.0 / 16.0), 4095.9375)
     ry = jnp.minimum(jnp.ceil(ry * 16.0) * (1.0 / 16.0), 4095.9375)
-    return jnp.stack([rx, ry], axis=-1)
+    return rx, ry
 
 
-def conic_from_cov(cov: jnp.ndarray) -> jnp.ndarray:
-    """Invert symmetric 2x2 covariances given as (a, b, c) triplets."""
-    a, b, c = cov[..., 0], cov[..., 1], cov[..., 2]
+def conic_from_cov(a, b, c):
+    """Invert symmetric 2x2 covariances given as flat (a, b, c) triples."""
     det = a * c - b * b
     inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
-    return jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+    return c * inv_det, -b * inv_det, a * inv_det
 
 
 def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
@@ -209,11 +239,9 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
             return mv_s[:, i, j][scene_ids]
 
         mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
-        view_center = jnp.stack([
-            mv(0, 0) * mx + mv(0, 1) * my + mv(0, 2) * mz + mv(0, 3),
-            mv(1, 0) * mx + mv(1, 1) * my + mv(1, 2) * mz + mv(1, 3),
-            mv(2, 0) * mx + mv(2, 1) * my + mv(2, 2) * mz + mv(2, 3),
-        ], axis=1)
+        vx = mv(0, 0) * mx + mv(0, 1) * my + mv(0, 2) * mz + mv(0, 3)
+        vy = mv(1, 0) * mx + mv(1, 1) * my + mv(1, 2) * mz + mv(1, 3)
+        vz = mv(2, 0) * mx + mv(2, 1) * my + mv(2, 2) * mz + mv(2, 3)
         # SH view directions are evaluated in model-local space:
         # normalize(center - inverse(transform) * cameraPosition)
         # (SplatMaterial.js:179-187) — inverses on the [S] scene axis.
@@ -231,32 +259,27 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
         # of mean2d accuracy and makes two compilations of this function
         # disagree with each other (fusion-dependent rounding).
         mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
-        view_center = jnp.stack([
-            m3e[0][0] * mx + m3e[0][1] * my + m3e[0][2] * mz
-            + camera.view[0, 3],
-            m3e[1][0] * mx + m3e[1][1] * my + m3e[1][2] * mz
-            + camera.view[1, 3],
-            m3e[2][0] * mx + m3e[2][1] * my + m3e[2][2] * mz
-            + camera.view[2, 3],
-        ], axis=1)
+        vx = (m3e[0][0] * mx + m3e[0][1] * my + m3e[0][2] * mz
+              + camera.view[0, 3])
+        vy = (m3e[1][0] * mx + m3e[1][1] * my + m3e[1][2] * mz
+              + camera.view[1, 3])
+        vz = (m3e[2][0] * mx + m3e[2][1] * my + m3e[2][2] * mz
+              + camera.view[2, 3])
         dirs = math3d.normalize(means - camera.cam_pos)
 
     # Same elementwise rule for the projection transform (see note above).
-    vx, vy, vz = view_center[:, 0], view_center[:, 1], view_center[:, 2]
     pr = camera.proj
-    clip = jnp.stack([
-        pr[0, 0] * vx + pr[0, 1] * vy + pr[0, 2] * vz + pr[0, 3],
-        pr[1, 0] * vx + pr[1, 1] * vy + pr[1, 2] * vz + pr[1, 3],
-        pr[2, 0] * vx + pr[2, 1] * vy + pr[2, 2] * vz + pr[2, 3],
-    ], axis=1)
+    clip_x = pr[0, 0] * vx + pr[0, 1] * vy + pr[0, 2] * vz + pr[0, 3]
+    clip_y = pr[1, 0] * vx + pr[1, 1] * vy + pr[1, 2] * vz + pr[1, 3]
+    clip_z = pr[2, 0] * vx + pr[2, 1] * vy + pr[2, 2] * vz + pr[2, 3]
     clip_w = pr[3, 0] * vx + pr[3, 1] * vy + pr[3, 2] * vz + pr[3, 3]
     lim = CLIP_FACTOR * clip_w
-    visible = ((clip[:, 2] >= -lim) & (clip[:, 0] >= -lim) & (clip[:, 0] <= lim)
-               & (clip[:, 1] >= -lim) & (clip[:, 1] <= lim))
+    visible = ((clip_z >= -lim) & (clip_x >= -lim) & (clip_x <= lim)
+               & (clip_y >= -lim) & (clip_y <= lim))
 
     safe_w = jnp.where(jnp.abs(clip_w) < 1e-9, 1e-9, clip_w)
-    ndc = clip[:, :2] / safe_w[:, None]
-    mean2d = (ndc + 1.0) * 0.5 * jnp.array([w, h], jnp.float32)
+    xs = (clip_x / safe_w + 1.0) * (0.5 * w)
+    ys = (clip_y / safe_w + 1.0) * (0.5 * h)
 
     # --- EWA 2D covariance --- (flat elementwise; no [N, 3, 3] tensors)
     cov6 = covariance6_elements(splats.scales, splats.quats)
@@ -265,10 +288,9 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
         u = tuple(focal[0] * m3e[0][j] for j in range(3))
         v = tuple(focal[1] * m3e[1][j] for j in range(3))
     else:
-        z = view_center[:, 2]
-        z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        z = jnp.where(jnp.abs(vz) < 1e-6, 1e-6, vz)
         inv_z = 1.0 / z
-        x, y = view_center[:, 0], view_center[:, 1]
+        x, y = vx, vy
         # Rows of J (first two; third row is zero and drops out):
         # [fx/z, 0, -fx x / z^2], [0, fy/z, -fy y / z^2]
         j00 = focal[0] * inv_z
@@ -279,13 +301,10 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
         u = tuple(j00 * m3e[0][j] + j02 * m3e[2][j] for j in range(3))
         v = tuple(j11 * m3e[1][j] + j12 * m3e[2][j] for j in range(3))
 
-    cov2d = jnp.stack([quadratic_form6(cov6, u, u),
-                       quadratic_form6(cov6, u, v),
-                       quadratic_form6(cov6, v, v)], axis=-1)
-
     cov_eval, compensation, (ax, ay), eig_valid = _eval_covariance2d(
-        cov2d, cfg)
-    conic = conic_from_cov(cov_eval)
+        quadratic_form6(cov6, u, u), quadratic_form6(cov6, u, v),
+        quadratic_form6(cov6, v, v), cfg)
+    conic_a, conic_b, conic_c = conic_from_cov(*cov_eval)
 
     color = eval_sh_color(splats.colors[:, :3], splats.sh, dirs, cfg.sh_degree)
     opacity = splats.colors[:, 3] * compensation
@@ -308,14 +327,18 @@ def project_splats(splats: SplatData, camera: Camera, cfg: RenderConfig,
         visible = visible & (opacity >= cfg.min_alpha)
     visible = visible & eig_valid & (opacity >= cfg.min_alpha)
 
-    depth = jnp.where(visible, clip[:, 2], jnp.inf)
+    depth = jnp.where(visible, clip_z, jnp.inf)
     opacity = jnp.where(visible, opacity, 0.0)
     # Support box from the FINAL opacity (hard cutoff, gradient-free).
-    radius = support_radius(ax, ay, jax.lax.stop_gradient(opacity), cfg)
-    radius = jnp.where(visible[:, None], radius, 0.0)
+    rx, ry = support_radius(ax, ay, jax.lax.stop_gradient(opacity), cfg)
+    rx = jnp.where(visible, rx, 0.0)
+    ry = jnp.where(visible, ry, 0.0)
 
-    return ProjectedSplats(mean2d=mean2d, conic=conic, color=color,
-                           opacity=opacity, depth=depth, radius=radius,
+    return ProjectedSplats(xs=xs, ys=ys,
+                           conic_a=conic_a, conic_b=conic_b, conic_c=conic_c,
+                           col_r=color[:, 0], col_g=color[:, 1],
+                           col_b=color[:, 2],
+                           opacity=opacity, depth=depth, rx=rx, ry=ry,
                            mask=visible)
 
 

@@ -194,6 +194,24 @@ class SurfelProjection:
     depth: jnp.ndarray       # [N]
     mask: jnp.ndarray        # [N] bool
 
+    # flat-field views (binning.tile_bounds consumes the same names as
+    # ProjectedSplats; XLA fuses the slice-of-stack away inside one jit)
+    @property
+    def xs(self) -> jnp.ndarray:
+        return self.mean2d[:, 0]
+
+    @property
+    def ys(self) -> jnp.ndarray:
+        return self.mean2d[:, 1]
+
+    @property
+    def rx(self) -> jnp.ndarray:
+        return self.radius[:, 0]
+
+    @property
+    def ry(self) -> jnp.ndarray:
+        return self.radius[:, 1]
+
 
 def project_surfels(splats: SplatData, camera: Camera, cfg: RenderConfig,
                     transforms: jnp.ndarray | None = None,

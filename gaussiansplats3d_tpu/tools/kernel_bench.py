@@ -86,14 +86,13 @@ def build_variant(cfg, variant: str):
             if variant == "no_scan":
                 w = alpha * t
             elif variant.startswith("mxu_scan"):
-                from gaussiansplats3d_tpu.render.pallas_rasterize import _tri
-                prec = (jax.lax.Precision.HIGHEST
-                        if variant.endswith("highest")
-                        else jax.lax.Precision.HIGH)
+                # log-space prefix on the MXU via the bf16 limb split
+                # (Mosaic has no Precision.HIGH lowering; _mm_tri splits
+                # the data operand into _TRI_PASSES bf16 limbs instead).
+                from gaussiansplats3d_tpu.render import pallas_rasterize
+                pallas_rasterize._TRI_PASSES = int(variant[-1])
                 logw = jnp.log1p(-alpha)
-                excl_log = jax.lax.dot_general(
-                    logw, _tri(True), (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32, precision=prec)
+                excl_log = pallas_rasterize._mm_tri(logw, True)
                 w = alpha * (jnp.exp(excl_log) * t)
                 csum = excl_log[:, CHUNK - 1:CHUNK] + logw[:, CHUNK - 1:CHUNK]
                 t = jnp.maximum(t * jnp.exp(csum), _T_FLOOR)
@@ -193,7 +192,7 @@ def main():
     print(f"N={n} tile={args.tile} pairs={int(pairs.total_pairs)} "
           f"S={pairs.capacity} tiles={cfg.num_tiles}", flush=True)
 
-    for variant in ("full", "mxu_scan_high", "mxu_scan_highest",
+    for variant in ("full", "mxu_scan_2", "mxu_scan_3",
                     "exit_every4", "no_exit", "no_scan",
                     "no_matmul", "dma_only"):
         fn = jax.jit(build_variant(cfg, variant))

@@ -34,33 +34,49 @@ def interpret_pallas(monkeypatch):
 
 
 def build_inputs(n=800, sh_degree=0, width=96, height=96, seed=7):
+    """Kernel-boundary inputs straight from the PRODUCTION fused path
+    (bin_sort_records at f32 record precision for exactness)."""
     splats = gs.random_splats(jax.random.PRNGKey(seed), n, sh_degree=sh_degree)
     cam = gs.Camera.look_at((2.5, 1.5, 2.5), (0, 0, 0), fov_y_deg=60,
                             aspect=width / height)
-    cfg = gs.RenderConfig(width=width, height=height, sh_degree=sh_degree)
+    cfg = gs.RenderConfig(width=width, height=height, sh_degree=sh_degree,
+                          record_precision="f32")
     proj = projection.project_splats(splats, cam, cfg)
-    cap = cfg.pair_capacity(n)
-    pairs = binning.bin_and_sort(proj, cfg, cap)
-    recs = pipeline.gather_pair_records(proj, pairs)
-    eff = cap
+    pairs = binning.bin_sort_records(proj, cfg)
     tile_ids = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
-    return cfg, pairs, recs, eff, tile_ids
+    return cfg, pairs, tile_ids
+
+
+def _flat_fields(pairs):
+    return (pairs.xs, pairs.ys, pairs.cas, pairs.cbs, pairs.ccs,
+            pairs.crs, pairs.cgs, pairs.cbs2, pairs.opas)
+
+
+def _jax_args(xs, ys, cas, cbs, ccs, crs, cgs, cbs2, opas, rxs, rys):
+    return (jnp.stack([xs, ys], axis=1), jnp.stack([cas, cbs, ccs], axis=1),
+            jnp.stack([crs, cgs, cbs2], axis=1), opas,
+            jnp.stack([rxs, rys], axis=1))
 
 
 def test_forward_matches_jax_rasterizer():
-    cfg, pairs, recs, eff, tile_ids = build_inputs()
-    records = pr.pack_records(*recs)
-    col_p, logt_p = pr.composite_tiles(cfg, eff, records, pairs.tile_starts,
+    cfg, pairs, tile_ids = build_inputs()
+    cap = pairs.capacity
+    fields = _flat_fields(pairs)
+    records = pr.pack_records_flat(*fields, pairs.rxs, pairs.rys)
+    col_p, logt_p = pr.composite_tiles(cfg, cap, records, pairs.tile_starts,
                                        pairs.tile_counts, tile_ids)
     col_j, logt_j = rasterize.rasterize_pairs(
-        cfg, eff, *recs, pairs.tile_starts, pairs.tile_counts, 0)
+        cfg, cap, *_jax_args(*fields, pairs.rxs, pairs.rys),
+        pairs.tile_starts, pairs.tile_counts, 0)
     # Early exit truncates contributions below T ~ 1/512.
     assert jnp.max(jnp.abs(col_p - col_j)) < 4e-3
     assert jnp.max(jnp.abs(jnp.exp(logt_p) - jnp.exp(logt_j))) < 4e-3
 
 
 def test_backward_matches_jax_rasterizer():
-    cfg, pairs, recs, eff, tile_ids = build_inputs(n=400)
+    cfg, pairs, tile_ids = build_inputs(n=400)
+    cap = pairs.capacity
+    fields = _flat_fields(pairs)
     gc = 0.1 * jax.random.normal(
         jax.random.PRNGKey(0),
         (cfg.num_tiles, cfg.tile_size ** 2, 3), jnp.float32)
@@ -68,21 +84,23 @@ def test_backward_matches_jax_rasterizer():
         jax.random.PRNGKey(1),
         (cfg.num_tiles, cfg.tile_size ** 2), jnp.float32)
 
-    def f_p(m2, con, cl, op):
+    def f_p(*fs):
         c, l = pr.composite_tiles(
-            cfg, eff, pr.pack_records(m2, con, cl, op, recs[4]),
+            cfg, cap, pr.pack_records_flat(*fs, pairs.rxs, pairs.rys),
             pairs.tile_starts, pairs.tile_counts, tile_ids)
         return jnp.sum(c * gc) + jnp.sum(l * gl)
 
-    def f_j(m2, con, cl, op):
+    def f_j(*fs):
         c, l = rasterize.rasterize_pairs(
-            cfg, eff, m2, con, cl, op, recs[4],
+            cfg, cap, *_jax_args(*fs, pairs.rxs, pairs.rys),
             pairs.tile_starts, pairs.tile_counts, 0)
         return jnp.sum(c * gc) + jnp.sum(l * gl)
 
-    gp = jax.grad(f_p, argnums=(0, 1, 2, 3))(*recs[:4])
-    gj = jax.grad(f_j, argnums=(0, 1, 2, 3))(*recs[:4])
-    for name, a, b in zip(("mean2d", "conic", "color", "opacity"), gp, gj):
+    argnums = tuple(range(9))
+    gp = jax.grad(f_p, argnums=argnums)(*fields)
+    gj = jax.grad(f_j, argnums=argnums)(*fields)
+    names = ("x", "y", "ca", "cb", "cc", "r", "g", "b", "opacity")
+    for name, a, b in zip(names, gp, gj):
         scale = max(float(jnp.abs(b).max()), 1e-10)
         rel = float(jnp.abs(a - b).max()) / scale
         assert rel < 5e-3, (name, rel)
@@ -110,16 +128,18 @@ def test_full_pipeline_pallas_backend():
 
 
 def test_binning_layout_invariants():
-    cfg, pairs, recs, eff, _ = build_inputs(n=600)
+    cfg, pairs, _ = build_inputs(n=600)
     starts = np.asarray(pairs.tile_starts)
     counts = np.asarray(pairs.tile_counts)
     # Ranges are contiguous and ascending (CSR over the sorted pair list).
     assert (starts[1:] == starts[:-1] + counts[:-1]).all()
-    total = int(pairs.total_pairs)
-    assert starts[-1] + counts[-1] == min(total, eff)
-    valid = np.asarray(pairs.pair_valid)
-    assert valid[:min(total, eff)].all()
-    assert not valid[min(total, eff):].any()
+    n_valid = int(starts[-1] + counts[-1])
+    assert n_valid == int(pairs.total_pairs) - int(pairs.overflow)
+    # Sentinel (invalid) slots sort to the tail, outside every tile window,
+    # and their opacity is zeroed so no compositor path can read them.
+    opas = np.asarray(pairs.opas)
+    assert (opas[n_valid:] == 0.0).all()
+    assert (opas[:n_valid] > 0.0).any()
 
 
 def test_depth_channel_pallas_matches_oracle():

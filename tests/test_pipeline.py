@@ -164,6 +164,21 @@ def test_depth_channel_gradients():
     assert float(jnp.max(jnp.abs(g.means))) > 0.0
 
 
+def test_forward_only_matches_differentiable():
+    """cfg.forward_only drops the sorted-slot operand (backward-alignment
+    plumbing only) — the rendered image must be IDENTICAL: the stable sort
+    orders pairs by key then original slot position either way."""
+    splats = make_scene(500, sh_degree=1)
+    cam = make_camera()
+    for prec in ("mixed", "packed"):
+        cfg = gs.RenderConfig(width=96, height=64, sh_degree=1,
+                              record_precision=prec)
+        a = gs.render(splats, cam, cfg)
+        b = gs.render(splats, cam, cfg.replace(forward_only=True))
+        assert jnp.array_equal(a["color"], b["color"]), prec
+        assert jnp.array_equal(a["alpha"], b["alpha"]), prec
+
+
 @pytest.mark.parametrize("return_depth", [False, True])
 def test_record_precision_modes(return_depth):
     """'mixed' (default) and 'packed' quantize sort operands, not semantics.
