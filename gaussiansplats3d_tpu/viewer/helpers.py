@@ -18,9 +18,10 @@ The TPU-functional analogue of the reference's SceneHelper
   :func:`apply_overlay` blends it (the marker renders with depth test
   off, exactly like the reference's material).
 
-The editing-only chrome (control plane, arrow helper, debug spheres,
-SceneHelper.js:199-281) is browser-DOM tooling with no render-pipeline
-role and is intentionally out of scope.
+- The control-plane renderable (SceneHelper.js:199-247: translucent
+  white plane + green up-arrow, depth test off) is
+  :func:`control_plane_overlay`.  The remaining debug spheres
+  (createDebugMeshes :268-281) are browser-DOM-only chrome.
 """
 
 from __future__ import annotations
@@ -156,4 +157,68 @@ def mesh_cursor_overlay(camera: Camera, position, width: int, height: int,
     alpha = inside.astype(jnp.float32) * (w > 0.0)
     rgb = jnp.broadcast_to(jnp.asarray(color, jnp.float32),
                            (height, width, 3))
+    return jnp.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
+def control_plane_overlay(camera: Camera, position, up,
+                          width: int, height: int) -> jnp.ndarray:
+    """RGBA overlay with the reference's control-plane renderable.
+
+    SceneHelper.setupControlPlane (SceneHelper.js:199-247): a 1x1
+    world-unit double-sided white plane at 0.6 opacity, oriented
+    perpendicular to ``up`` (the plane's normal), plus a green up-arrow of
+    length 0.5 from its center — depth test off, so it is drawn as a
+    screen overlay like the cursor/focus marker.  Rasterized here by
+    projecting the quad corners and arrow segment and testing pixels in
+    screen space; behind-camera geometry is transparent.
+    """
+    p = jnp.asarray(position, jnp.float32)
+    upv = jnp.asarray(up, jnp.float32)
+    upv = upv / jnp.maximum(jnp.linalg.norm(upv), 1e-12)
+    # plane basis perpendicular to up (setFromUnitVectors semantics)
+    ref = jnp.where(jnp.abs(upv[1]) < 0.9,
+                    jnp.array([0.0, 1.0, 0.0]), jnp.array([1.0, 0.0, 0.0]))
+    bx = jnp.cross(upv, ref)
+    bx = bx / jnp.maximum(jnp.linalg.norm(bx), 1e-12)
+    bz = jnp.cross(bx, upv)
+
+    corners = [p + 0.5 * (sx * bx + sz * bz)
+               for sx, sz in ((-1, -1), (1, -1), (1, 1), (-1, 1))]
+    proj = [project_to_screen(camera, c, width, height) for c in corners]
+    pts = jnp.stack([pc for pc, _ in proj])            # [4, 2]
+    ws = jnp.stack([pw for _, pw in proj])
+
+    yy, xx = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32) + 0.5,
+                          jnp.arange(width, dtype=jnp.float32) + 0.5,
+                          indexing="ij")
+
+    def halfplane(a, b):
+        return ((b[0] - a[0]) * (yy - a[1]) - (b[1] - a[1]) * (xx - a[0]))
+
+    edges = jnp.stack([halfplane(pts[i], pts[(i + 1) % 4])
+                       for i in range(4)])
+    # double-sided: inside if consistently left OR right of every edge
+    inside = jnp.all(edges >= 0.0, axis=0) | jnp.all(edges <= 0.0, axis=0)
+    plane_alpha = inside.astype(jnp.float32) * 0.6 * jnp.all(ws > 0.0)
+
+    # green up-arrow: segment p -> p + 0.5 * up, width from the reference's
+    # 0.01-world-unit shaft radius
+    a2, wa = project_to_screen(camera, p, width, height)
+    b2, wb = project_to_screen(camera, p + 0.5 * upv, width, height)
+    e2, _ = project_to_screen(camera, p + 0.01 * bx, width, height)
+    half_w = jnp.maximum(jnp.linalg.norm(e2 - a2), 1.0)
+    d = b2 - a2
+    seg_len2 = jnp.maximum(jnp.sum(d * d), 1e-12)
+    t = jnp.clip(((xx - a2[0]) * d[0] + (yy - a2[1]) * d[1]) / seg_len2,
+                 0.0, 1.0)
+    px_ = a2[0] + t * d[0]
+    py_ = a2[1] + t * d[1]
+    dist = jnp.sqrt((xx - px_) ** 2 + (yy - py_) ** 2)
+    arrow_alpha = (dist <= half_w).astype(jnp.float32) * (wa > 0) * (wb > 0)
+
+    white = jnp.array([1.0, 1.0, 1.0], jnp.float32)
+    green = jnp.array([0.0, 0xDD / 255.0, 0.0], jnp.float32)
+    rgb = jnp.where(arrow_alpha[..., None] > 0.0, green, white)
+    rgb = jnp.broadcast_to(rgb, (height, width, 3))
+    alpha = jnp.maximum(plane_alpha, arrow_alpha)
     return jnp.concatenate([rgb, alpha[..., None]], axis=-1)

@@ -59,6 +59,17 @@ class OrbitCamera:
             self.radius * math.sin(self.phi) * math.cos(self.theta)])
         return self.target + self._basis @ local
 
+    @position.setter
+    def position(self, position: Sequence[float]) -> None:
+        """Move the eye, keeping the current target (like repositioning the
+        camera object under the reference's OrbitControls)."""
+        offset = np.asarray(position, np.float64) - self.target
+        self.radius = float(np.linalg.norm(offset))
+        local = self._basis.T @ offset
+        self.theta = math.atan2(local[0], local[2])
+        self.phi = math.acos(np.clip(local[1] / max(self.radius, 1e-12),
+                                     -1.0, 1.0))
+
     def rotate(self, d_azimuth: float, d_polar: float) -> "OrbitCamera":
         self.theta += d_azimuth
         self.phi = float(np.clip(self.phi + d_polar, self.min_polar,

@@ -33,6 +33,29 @@ from .scene import SplatScene
 
 SceneSource = Union[str, SplatData, SplatScene]
 
+# Per-component camera-change epsilon on position and orientation
+# quaternion — the reference's shouldRender gate
+# (/root/reference/src/Viewer.js:1561-1597, changeEpsilon = 0.0001).
+CAMERA_CHANGE_EPSILON = 1e-4
+
+
+def _rotation_to_quat(m: np.ndarray) -> np.ndarray:
+    """3x3 rotation -> quaternion (x, y, z, w), Shepperd's method."""
+    t = np.trace(m)
+    if t > 0.0:
+        s = np.sqrt(t + 1.0) * 2.0
+        return np.array([(m[2, 1] - m[1, 2]) / s, (m[0, 2] - m[2, 0]) / s,
+                         (m[1, 0] - m[0, 1]) / s, 0.25 * s])
+    i = int(np.argmax(np.diag(m)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(m[i, i] - m[j, j] - m[k, k] + 1.0, 0.0)) * 2.0
+    q = np.zeros(4)
+    q[i] = 0.25 * s
+    q[j] = (m[j, i] + m[i, j]) / max(s, 1e-20)
+    q[k] = (m[k, i] + m[i, k]) / max(s, 1e-20)
+    q[3] = (m[k, j] - m[j, k]) / max(s, 1e-20)
+    return q
+
 
 class Viewer:
     def __init__(self,
@@ -89,6 +112,8 @@ class Viewer:
         self._scenes: List[SplatScene] = []
         self._concat_cache = None
         self._last_frame = None
+        self._last_cam_sig = None      # (position [3], quaternion [4])
+        self._render_next_frame = False
         self._dirty = True
         self._disposed = False
 
@@ -274,12 +299,39 @@ class Viewer:
     def _mark_dirty(self):
         self._dirty = True
 
+    def force_render_next_frame(self) -> None:
+        """Bypass OnChange gating for the next render() call
+        (forceRenderNextFrame parity, Viewer.js:1557-1559)."""
+        self._render_next_frame = True
+
+    def _camera_changed(self, cam: Camera) -> bool:
+        """Epsilon-gated camera-change test (Viewer.js:1561-1597): any
+        position or orientation-quaternion component moving by more than
+        CAMERA_CHANGE_EPSILON since the LAST OBSERVED camera counts as a
+        change (the reference updates its last-camera snapshot every
+        shouldRender call, so sub-epsilon drift never re-renders)."""
+        pos = np.asarray(cam.cam_pos, np.float64)
+        quat = _rotation_to_quat(np.asarray(cam.view, np.float64)[:3, :3].T)
+        sig = (pos, quat)
+        if self._last_cam_sig is None:
+            self._last_cam_sig = sig
+            return True
+        lp, lq = self._last_cam_sig
+        self._last_cam_sig = sig
+        # quaternion double cover: q and -q are the same orientation
+        dq = min(float(np.max(np.abs(quat - lq))),
+                 float(np.max(np.abs(quat + lq))))
+        return (float(np.max(np.abs(pos - lp))) > CAMERA_CHANGE_EPSILON
+                or dq > CAMERA_CHANGE_EPSILON)
+
     def render(self, camera: Optional[Camera] = None,
                return_aux: bool = False):
         """Render the composed scenes.  Returns {'color', 'alpha', ...}.
 
-        With RenderMode.OnChange, returns the cached frame unless scenes or
-        the camera changed (shouldRender parity, Viewer.js:1561-1597); with
+        With RenderMode.OnChange, returns the cached frame unless the
+        scenes changed or the camera moved beyond the reference's
+        per-component epsilon (shouldRender parity, Viewer.js:1561-1597 —
+        sub-epsilon camera jitter reuses the cached frame); with
         RenderMode.Never, always returns the cached frame (or raises if
         nothing was rendered yet).
         """
@@ -289,18 +341,23 @@ class Viewer:
         # fade radius keeps the frame key "dirty" (visibleRegionChanging
         # forces shouldRender in the reference, Viewer.js:1561-1597)
         fade = self.visible_region.tick(self.scene_reveal_mode)
-        key = (np.asarray(cam.view).tobytes(),
-               None if fade is None else (tuple(fade[0]), fade[1]),
-               tuple((s.splats_version, tuple(np.asarray(s.position)),
-                      tuple(np.asarray(s.quaternion)),
-                      tuple(np.asarray(s.scale)), s.opacity, s.visible)
-                     for s in self._scenes))
+        scene_key = (
+            None if fade is None else (tuple(fade[0]), fade[1]),
+            tuple((s.splats_version, tuple(np.asarray(s.position)),
+                   tuple(np.asarray(s.quaternion)),
+                   tuple(np.asarray(s.scale)), s.opacity, s.visible)
+                  for s in self._scenes))
+        cam_changed = self._camera_changed(cam)
         if self.render_mode == RenderMode.Never and self._last_frame:
             return self._last_frame[1]
         if (self.render_mode == RenderMode.OnChange
                 and self._last_frame is not None
-                and self._last_frame[0] == key):
+                and self._last_frame[0] == scene_key
+                and not cam_changed
+                and not self._render_next_frame):
             return self._last_frame[1]
+        self._render_next_frame = False
+        key = scene_key
 
         splats, scene_indices = self._concat()
         transforms = jnp.stack([s.transform for s in self._scenes])

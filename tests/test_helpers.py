@@ -135,3 +135,23 @@ def test_mesh_cursor_overlay():
     # behind the camera: transparent
     ov2 = np.asarray(mesh_cursor_overlay(cam, (0.0, 0.0, 99.0), 200, 200))
     assert ov2[..., 3].max() == 0.0
+
+
+def test_control_plane_overlay():
+    from gaussiansplats3d_tpu.viewer.helpers import control_plane_overlay
+
+    cam = gs.Camera.look_at((0.0, 2.0, 3.0), (0, 0, 0), fov_y_deg=60.0)
+    ov = np.asarray(control_plane_overlay(cam, (0.0, 0.0, 0.0),
+                                          (0.0, 1.0, 0.0), 200, 200))
+    alpha = ov[..., 3]
+    # translucent plane at 0.6 + a fully opaque arrow core
+    assert np.isclose(alpha.max(), 1.0)
+    assert (np.isclose(alpha, 0.6, atol=1e-6)).sum() > 100
+    # the arrow is green, the plane white
+    green = (ov[..., 1] > 0.5) & (ov[..., 0] < 0.1) & (alpha > 0.9)
+    assert green.sum() > 10
+    # behind the camera: transparent
+    cam2 = gs.Camera.look_at((0.0, 0.0, -3.0), (0, 0, -9.0))
+    ov2 = np.asarray(control_plane_overlay(cam2, (0.0, 0.0, 5.0),
+                                           (0.0, 1.0, 0.0), 100, 100))
+    assert ov2[..., 3].max() == 0.0

@@ -113,6 +113,32 @@ def test_render_mode_on_change_caching():
     assert out3 is not out1
 
 
+def test_render_on_change_camera_epsilon():
+    """Sub-epsilon camera jitter reuses the cached frame; a super-epsilon
+    move re-renders (shouldRender changeEpsilon parity,
+    /root/reference/src/Viewer.js:1561-1597)."""
+    v = make_viewer(render_mode=RenderMode.OnChange)
+    v.add_splat_scene(small_scene())
+    out1 = v.render()
+    # jitter each position component by well under 1e-4 world units
+    base = np.asarray(v.camera.position, np.float64).copy()
+    for k in range(4):
+        v.camera.position = base + 2e-5 * np.array([1.0, -1.0, 1.0]) * (
+            (-1.0) ** k)
+        assert v.render() is out1, k       # cached through the wiggle
+    # super-epsilon move re-renders
+    v.camera.position = base + np.array([5e-4, 0.0, 0.0])
+    out2 = v.render()
+    assert out2 is not out1
+    # forceRenderNextFrame bypasses the gate once
+    out3 = v.render()
+    assert out3 is out2
+    v.force_render_next_frame()
+    out4 = v.render()
+    assert out4 is not out2
+    assert v.render() is out4
+
+
 def test_file_scene_load(tmp_path):
     splats = small_scene(60)
     path = str(tmp_path / "scene.ksplat")
