@@ -1,0 +1,202 @@
+"""Scaling-efficiency harness (BASELINE.md metric 3: >= 80% splats/s from
+1 chip to N hosts).
+
+Runs the sharded forward+backward train step over every requested
+``(splat_shards x tile_shards)`` mesh shape on the available devices and
+reports, per shape:
+
+- wall-clock ms/step and Msplats/s (meaningful on REAL multi-chip
+  hardware; on a virtual CPU mesh the devices share one host, so only the
+  work-volume columns mean anything),
+- scaling efficiency vs the smallest mesh (throughput / (base * D)),
+- per-device work volumes from the SAME sizing functions the pipeline
+  uses: routed-exchange records/bytes per device
+  (`sharded.default_exchange_capacity`), gathered record count, pair-sort
+  slots (`binning.slot_layout_for`), and the measured per-slab pair
+  counts + overflow.
+
+``--assert-volumes`` checks the O(alpha * N / tile_shards) contract of
+SURVEY.md section 5.7: per-device exchange and sort volumes must SHRINK
+with the tile axis and never scale with the full N — the property that
+makes the design capacity-sublinear (the reference's CPU sorter is O(N)
+per frame on one core, /root/reference/src/worker/sorter.cpp).
+
+Usage (virtual mesh):
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python -m gaussiansplats3d_tpu.tools.scaling_bench 200000 \
+        --meshes 1x1,2x2,4x2 --assert-volumes
+On real hardware the same command (without the env forcing) uses the real
+chips and the efficiency column is the BASELINE metric.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# This machine pins jax_platforms at import; the env var alone is ignored
+# (tests/conftest.py has the same workaround) — honor it explicitly so the
+# virtual-mesh invocation never touches the real TPU.
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _sync(out):
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(jax.device_get(leaf[(0,) * getattr(leaf, "ndim", 0)]))
+
+
+def run_shape(splats, cfg, splat_shards, tile_shards, iters):
+    import optax
+
+    from ..parallel.mesh import make_mesh
+    from ..parallel.sharded import (
+        default_exchange_capacity, device_put_sharded_splats,
+        sharded_render_tiles)
+    from ..parallel.train import (
+        TrainState, image_to_tile_blocks, make_train_step)
+    from ..render.binning import slot_layout_for
+
+    n = splats.num_splats
+    d = splat_shards * tile_shards
+    mesh = make_mesh(jax.devices()[:d], splat_shards=splat_shards,
+                     tile_shards=tile_shards)
+    sharded = device_put_sharded_splats(splats, mesh)
+    camera = _camera(cfg)
+    target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    target_tiles, tile_mask = image_to_tile_blocks(target, cfg)
+
+    opt = optax.adam(1e-3)
+    state = TrainState.create(sharded, opt)
+    step = make_train_step(cfg, mesh, opt)
+    state, metrics = step(state, camera, target_tiles, tile_mask)
+    jax.block_until_ready(metrics["loss"])
+    _sync(metrics["loss"][None])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, camera, target_tiles, tile_mask)
+    jax.block_until_ready(metrics["loss"])
+    _sync(metrics["loss"][None])
+    ms = (time.perf_counter() - t0) / iters * 1000.0
+
+    # per-device work volumes (the pipeline's own sizing functions)
+    n_local = -(-n // splat_shards)
+    ecap = default_exchange_capacity(cfg, n_local, tile_shards)
+    gathered = splat_shards * ecap
+    lanes, aux, pad = slot_layout_for(cfg, gathered)
+    sort_slots = lanes * gathered + aux + pad
+    n_fields = 13  # 12 record fields + validity lane in the exchange
+    _, _, stats = sharded_render_tiles(
+        mesh, sharded, camera, cfg, return_stats=True)
+    slab_pairs = np.asarray(stats["slab_pairs"]).tolist()
+    return {
+        "mesh": f"{splat_shards}x{tile_shards}",
+        "devices": d,
+        "ms_per_step": round(ms, 1),
+        "msplats_per_s": round(n / ms / 1e3, 2),
+        "exchange_records_per_device": int(ecap),
+        "exchange_mb_per_device": round(
+            gathered * n_fields * 4 / 1e6, 2),
+        "gathered_records_per_device": int(gathered),
+        "sort_slots_per_device": int(sort_slots),
+        "slab_pairs": slab_pairs,
+        "overflow": int(np.asarray(stats["overflow"])),
+    }
+
+
+def _camera(cfg):
+    import gaussiansplats3d_tpu as gs
+    return gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
+                             fov_y_deg=60.0,
+                             aspect=cfg.width / cfg.height)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n", nargs="?", type=float, default=200_000)
+    ap.add_argument("--meshes", default="1x1,2x1,2x2,4x2",
+                    help="comma-separated SPLATxTILE shapes")
+    ap.add_argument("--width", type=int, default=512)
+    ap.add_argument("--height", type=int, default=256)
+    ap.add_argument("--tile", type=int, default=16)
+    ap.add_argument("--sh", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--assert-volumes", action="store_true")
+    args = ap.parse_args()
+    n = int(args.n)
+
+    import gaussiansplats3d_tpu as gs
+
+    shapes = []
+    for tok in args.meshes.split(","):
+        s, t = tok.strip().split("x")
+        shapes.append((int(s), int(t)))
+    avail = len(jax.devices())
+    shapes = [st for st in shapes if st[0] * st[1] <= avail]
+
+    cfg = gs.RenderConfig(width=args.width, height=args.height,
+                          sh_degree=args.sh, tile_size=args.tile,
+                          sort_bits=16)
+    splats = gs.random_splats(jax.random.PRNGKey(0), n, sh_degree=args.sh,
+                              extent=2.0)
+    splats = dataclasses.replace(splats, scales=splats.scales * 0.15)
+
+    platform = jax.devices()[0].platform
+    print(f"N={n} {args.width}x{args.height} SH{args.sh} tile={args.tile} "
+          f"platform={platform} devices={avail}", flush=True)
+    if platform == "cpu":
+        print("(virtual CPU mesh: wall-clock columns are NOT a scaling "
+              "measurement; work-volume columns are)", flush=True)
+
+    results = []
+    for s, t in shapes:
+        r = run_shape(splats, cfg, s, t, args.iters)
+        results.append(r)
+        print(f"  {r['mesh']:>5s}  {r['ms_per_step']:8.1f} ms/step  "
+              f"{r['msplats_per_s']:8.2f} Msplats/s  "
+              f"exch/dev {r['exchange_records_per_device']:>8d} rec "
+              f"({r['exchange_mb_per_device']:.1f} MB)  "
+              f"sort slots/dev {r['sort_slots_per_device']:>9d}  "
+              f"overflow {r['overflow']}", flush=True)
+
+    base = results[0]
+    for r in results:
+        speedup = r["msplats_per_s"] / max(base["msplats_per_s"], 1e-9)
+        r["efficiency_vs_base"] = round(
+            speedup * base["devices"] / r["devices"], 3)
+    print(json.dumps({"metric": "scaling_bench", "n": n,
+                      "platform": platform, "results": results}), flush=True)
+
+    if args.assert_volumes:
+        # O(alpha * N / tile_shards) contract: per-device exchange/sort
+        # volumes shrink with the tile axis and never track full N.
+        by_tiles = {}
+        for (s, t), r in zip(shapes, results):
+            by_tiles.setdefault(t, []).append(r)
+        for t, rs in by_tiles.items():
+            for r in rs:
+                assert r["gathered_records_per_device"] <= (
+                    3.0 * n / t + 128 * (r["devices"] + 1)), r
+        ts_sorted = sorted(by_tiles)
+        for a, b in zip(ts_sorted, ts_sorted[1:]):
+            ga = by_tiles[a][0]["gathered_records_per_device"]
+            gb = by_tiles[b][0]["gathered_records_per_device"]
+            ratio = ga / max(gb, 1)
+            assert ratio > 0.8 * (b / a), (
+                f"gathered records should shrink ~{b/a}x from tile_shards="
+                f"{a} to {b}; got {ga} -> {gb}")
+        # overflow-free at these shapes: drops would fake a speedup
+        for r in results:
+            assert r["overflow"] == 0, r
+        print("volume asserts OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
