@@ -30,6 +30,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# this machine pins jax_platforms at import; honor the env var explicitly
+# so --small CPU smoke runs never touch the real TPU (tests/conftest.py
+# has the same workaround)
+if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 
 def _scene(n, sh_degree, key=0):
     import gaussiansplats3d_tpu as gs
@@ -92,6 +98,71 @@ def run_config(name, n, sh_degree, width, height, ext, tmpdir,
     return rec
 
 
+def run_reference_bytes(tmpdir, n, level, sh_degree=1):
+    """Config-3 variant over REFERENCE-WRITTEN bytes at scale.
+
+    Generates an n-splat `.ksplat` through the 1:1 transcription of the
+    reference's writer (tests/reference_ksplat_writer, a port of
+    /root/reference/src/loaders/SplatBuffer.js:1050-1326), ingests it with
+    our reader, renders it, and PSNR-checks against the same splats
+    round-tripped through OUR writer — so the acceptance run exercises
+    reference-layout bytes at real scale, not 200-splat fixtures.
+    """
+    import gaussiansplats3d_tpu as gs
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                    "..", "..", "tests"))
+    import reference_ksplat_writer as ref
+
+    rng = np.random.default_rng(level)
+    k = {0: 0, 1: 9, 2: 24}[sh_degree]
+    rows = np.zeros((n, 14 + k), np.float32)
+    rows[:, 0:3] = rng.uniform(-2.0, 2.0, (n, 3))
+    rows[:, 3:6] = rng.uniform(0.002, 0.02, (n, 3))
+    q = rng.normal(size=(n, 4))
+    rows[:, 6:10] = q / np.linalg.norm(q, axis=1, keepdims=True)
+    rows[:, 10:13] = rng.uniform(0.0, 255.0, (n, 3))
+    rows[:, 13] = rng.uniform(80.0, 255.0, n)
+    if k:
+        rows[:, 14:] = rng.normal(0.0, 0.2, (n, k))
+
+    t0 = time.perf_counter()
+    data = ref.write_ksplat([list(rows)], minimum_alpha=1,
+                            compression_level=level)
+    t_write = time.perf_counter() - t0
+    path = os.path.join(tmpdir, f"refbytes_l{level}.ksplat")
+    with open(path, "wb") as f:
+        f.write(data)
+
+    t0 = time.perf_counter()
+    loaded = gs.load(path)
+    t_load = time.perf_counter() - t0
+    assert loaded.num_splats == n, (loaded.num_splats, n)
+
+    ours_path = os.path.join(tmpdir, f"ourbytes_l{level}.ksplat")
+    gs.save(loaded, ours_path, compression_level=level)
+    reloaded = gs.load(ours_path)
+
+    cfg = gs.RenderConfig(width=800, height=600, sh_degree=sh_degree,
+                          sort_bits=16)
+    camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
+                               fov_y_deg=60.0, aspect=800 / 600)
+    fwd = jax.jit(lambda s: gs.render(s, camera, cfg)["color"])
+    img_ref = np.asarray(fwd(loaded))
+    img_ours = np.asarray(fwd(reloaded))
+    mse = float(np.mean((img_ref - img_ours) ** 2))
+    psnr = -10.0 * np.log10(mse + 1e-12)
+    rec = {"config": f"accept3_reference_bytes_l{level}", "splats": n,
+           "compression_level": level, "sh_degree": sh_degree,
+           "ref_write_s": round(t_write, 1), "load_s": round(t_load, 2),
+           "psnr_vs_our_writer_db": round(psnr, 2),
+           "ok": bool(psnr > 40.0)}
+    print(json.dumps(rec), flush=True)
+    assert rec["ok"], rec
+    return rec
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     small = "--small" in argv
@@ -103,6 +174,9 @@ def main(argv=None):
                    "splat", tmpdir)
         run_config("accept3_garden_shaped", 5_000_000 // div, 2, 1920, 1080,
                    "ksplat", tmpdir)
+        # reference-layout bytes at scale (>= 1M splats, levels 1 and 2)
+        run_reference_bytes(tmpdir, 1_000_000 // div, 1)
+        run_reference_bytes(tmpdir, 1_000_000 // div, 2)
     return 0
 
 

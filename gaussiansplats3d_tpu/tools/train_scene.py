@@ -141,9 +141,12 @@ def main(argv=None):
             print(f"iter {it + 1:5d}  loss {float(metrics['loss']):.5f}  "
                   f"psnr(view0) {p:6.2f} dB  alive {alive}", flush=True)
 
+    from ..utils.image_metrics import ssim
     img = render(state.params.to_splats(), cams[0])
     final_psnr = float(psnr(img, jnp.asarray(targets[0])))
-    print(f"final psnr(view0): {final_psnr:.2f} dB", flush=True)
+    final_ssim = float(ssim(img, jnp.asarray(targets[0])))
+    print(f"final psnr(view0): {final_psnr:.2f} dB  "
+          f"ssim(view0): {final_ssim:.4f}", flush=True)
     if args.save:
         gs.save(state.params.to_splats(), args.save)
         print(f"saved {args.save}", flush=True)

@@ -75,6 +75,57 @@ def test_split_shrinks_scales():
     assert (src_scales < 0.5 / 1.5).all()
 
 
+def test_fit_psnr_gate():
+    """Numerical training-quality gate: recover a perturbed scene to
+    >= 25 dB on held renders within a bounded step count.  Catches
+    optimizer/gradient regressions that a loss-merely-decreases check
+    misses (the reference has no training at all; this is the BASELINE
+    north-star capability)."""
+    import optax
+
+    key = jax.random.PRNGKey(5)
+    truth = gs.random_splats(key, 300, sh_degree=0)
+    cfg = gs.RenderConfig(width=64, height=64, sort_bits=14)
+    cams = [gs.Camera.look_at(eye, (0, 0, 0), fov_y_deg=60.0)
+            for eye in ((2.0, 1.0, 2.0), (-2.0, 1.2, 1.8),
+                        (0.5, 2.4, -1.8))]
+    render = jax.jit(lambda s, c: gs.render(s, c, cfg)["color"])
+    targets = [render(truth, c) for c in cams]
+
+    # perturbed init: same splats, nudged means and colors
+    k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+    init = dataclasses.replace(
+        truth,
+        means=truth.means + 0.03 * jax.random.normal(
+            k1, truth.means.shape),
+        colors=jnp.clip(truth.colors + 0.15 * jax.random.normal(
+            k2, truth.colors.shape), 0.01, 1.0))
+    params = SplatParams.from_splats(init)
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    from gaussiansplats3d_tpu.render.pipeline import (
+        render_batch, stack_cameras)
+    cam_batch = stack_cameras(cams)
+    target_batch = jnp.stack(targets)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss(p):
+            out = render_batch(p.to_splats(), cam_batch, cfg)["color"]
+            return jnp.mean((out - target_batch) ** 2)
+        l, g = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    from gaussiansplats3d_tpu.utils.image_metrics import psnr
+    for _ in range(150):
+        params, opt_state, l = step(params, opt_state)
+    final = render_batch(params.to_splats(), cam_batch, cfg)["color"]
+    p = float(psnr(final, target_batch))
+    assert p >= 25.0, f"fit PSNR {p:.2f} dB < 25 dB"
+
+
 def test_render_batch_multi_view():
     splats = gs.random_splats(jax.random.PRNGKey(3), 200, sh_degree=0)
     cfg = gs.RenderConfig(width=48, height=48)
