@@ -556,8 +556,18 @@ def _expand_sort_core(cfg, num_tiles, aux_cap, pack_plan, tile_lo,
                                 (tile_a << cfg.sort_bits) | depth_a,
                                 _SENTINEL)
         keys = cat_keys(lane_keys, aux_key, _SENTINEL)
-        sorted_ops = jax.lax.sort((keys,) + ops, dimension=0, num_keys=1,
-                                  is_stable=True)
+        # The dominant sort runs UNSTABLE.  With carry_slot the slot
+        # operand (an arange, ops[0]) doubles as an explicit secondary
+        # key: (key, slot) pairs are unique and slot order IS input
+        # order, so the unstable 2-key sort is bit-identical to the
+        # stable 1-key sort — minus the hidden iota tiebreaker pass the
+        # stable lowering appends.  Without carry_slot (forward_only
+        # viewing) ties are equal-quantized-depth splats in one tile,
+        # whose compositing order is arbitrary under quantization anyway
+        # (the reference's own sorter has the same ambiguity).
+        nk = 2 if carry_slot else 1
+        sorted_ops = jax.lax.sort((keys,) + ops, dimension=0, num_keys=nk,
+                                  is_stable=False)
         skey = sorted_ops[0]
         sorted_tile = jnp.where(skey == _SENTINEL, jnp.int32(num_tiles),
                                 skey >> cfg.sort_bits)
@@ -573,8 +583,9 @@ def _expand_sort_core(cfg, num_tiles, aux_cap, pack_plan, tile_lo,
             num_tiles)
         dkeys = cat_keys([depth_q] * lanes,
                          depth_a if aux_cap > 0 else None, 0)
+        nk = 3 if carry_slot else 2   # see the fused-path comment
         sorted_ops = jax.lax.sort((tkeys, dkeys) + ops, dimension=0,
-                                  num_keys=2, is_stable=True)
+                                  num_keys=nk, is_stable=False)
         sorted_tile = sorted_ops[0]
         vals = sorted_ops[2:]
 
