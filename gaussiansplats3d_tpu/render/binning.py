@@ -474,9 +474,12 @@ def _expand_sort_core(cfg, num_tiles, aux_cap, pack_plan, tile_lo,
     if aux_cap > 0:
         b_cap = -(-max(128, aux_cap // 2) // 128) * 128   # static
         iota_n = jnp.arange(n, dtype=jnp.int32)
+        # (key, iota) 2-key unstable == stable 1-key (iota order IS input
+        # order) minus the hidden tiebreaker pass; big_c stays ASCENDING,
+        # which the sorted-index gathers below rely on.
         _, big_idx = jax.lax.sort(
-            ((~big).astype(jnp.int32), iota_n), dimension=0, num_keys=1,
-            is_stable=True)
+            ((~big).astype(jnp.int32), iota_n), dimension=0, num_keys=2,
+            is_stable=False)
         big_c = big_idx[: min(b_cap, n)]                  # [B'] splat ids
         if b_cap > n:
             big_c = jnp.pad(big_c, (0, b_cap - n))
@@ -687,8 +690,15 @@ def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, residuals,
                - prefix.at[starts_i].get(
                    indices_are_sorted=True))               # [B, n_diff]
         owner = jnp.where(counts_c > 0, big_c, n)
-        d = [d[i].at[owner].add(seg[:, i], mode="drop",
-                                indices_are_sorted=True)
+        # Scatter into FRESH zero buffers and add elementwise, rather than
+        # scattering into d[i] in place: an in-place scatter whose operand
+        # has other uses makes XLA insert a defensive full-[N] copy per
+        # field first (9-12 copy passes in the device trace, ~2 ms each at
+        # 2M).  A zero-broadcast operand needs no copy (re-materializing a
+        # broadcast is a memset), and the + folds into the existing
+        # elementwise lane-sum fusion.
+        d = [d[i] + jnp.zeros_like(d[i]).at[owner].add(
+                seg[:, i], mode="drop", indices_are_sorted=True)
              for i in range(n_diff)]
 
     # Nones: tile_lo, depth_q, tx0, ty0, wt, ht, counts (integer plumbing),
