@@ -64,7 +64,7 @@ def frames_per_s_8m():
     # (viewing never differentiates).
     cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=0,
                           sort_bits=16, record_precision="packed",
-                          forward_only=True)
+                          forward_only=True, aux_multiplier=0.3)
     splats = _make_scene(n, 0)
     camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
                                fov_y_deg=60.0, aspect=WIDTH / HEIGHT)

@@ -124,9 +124,11 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
         multi-scene dynamic mode; ``scene_indices`` is per-splat (sharded
         with the splats), the rest are tiny per-scene arrays (replicated).
 
-    Returns (tile_colors [T, P, 3], tile_logtrans [T, P]) — global logical
-    arrays sharded over the tile axis — plus a replicated overflow scalar
-    (exchange drops + pair-list drops) when ``return_overflow``.
+    Returns ``chans [NC+1, T, P]`` channel-major (record channels then
+    composited alpha; see ``pipeline.composite_sorted``) — one global
+    logical array sharded over the TILE axis (dim 1) — plus a replicated
+    overflow scalar (exchange drops + pair-list drops) when
+    ``return_overflow``.
     """
     del capacity  # superseded by the fused expand+sort slot layout
     tile_shards = mesh.shape[TILE_AXIS]
@@ -219,8 +221,10 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
             recs, starts, tcounts, _, pair_ovf = bin_sort_surfels(
                 sp_g, cfg, tile_range=(tile_lo, local_tiles),
                 depth_bounds=(dmin, dmax))
+            from ..render.pipeline import chans_from_colors_logt
             tile_colors, tile_logtrans = composite_surfels_sorted(
                 cfg, recs, starts, tcounts, tile_lo, local_tiles)
+            chans = chans_from_colors_logt(tile_colors, tile_logtrans)
         else:
             (gx, gy, gca, gcb, gcc, gcr, gcg, gcb2, gop, grx, gry,
              gdepth) = gathered[:-1]
@@ -237,8 +241,7 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
             pairs = bin_sort_records(proj_g, cfg,
                                      tile_range=(tile_lo, local_tiles),
                                      depth_bounds=(dmin, dmax))
-            tile_colors, tile_logtrans = composite_sorted(
-                cfg, pairs, tile_lo, local_tiles)
+            chans = composite_sorted(cfg, pairs, tile_lo, local_tiles)
             pair_ovf = pairs.overflow
         overflow = jax.lax.psum(
             jax.lax.psum(dropped + pair_ovf, SPLAT_AXIS), TILE_AXIS)
@@ -251,7 +254,7 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
             slab_pairs = pairs.total_pairs - pairs.overflow
         slab_pairs = jax.lax.all_gather(slab_pairs[None], TILE_AXIS,
                                         axis=0, tiled=True)
-        return tile_colors, tile_logtrans, overflow, slab_pairs
+        return chans, overflow, slab_pairs
 
     splat_spec = jax.tree.map(lambda _: P(SPLAT_AXIS), splats)
     cam_spec = jax.tree.map(lambda _: P(), camera)
@@ -260,21 +263,22 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
     scene_args = (transforms if has_scenes else None,
                   scene_opacities, scene_visibility)
     scene_args_spec = jax.tree.map(lambda _: P(), scene_args)
-    out_spec = (P(TILE_AXIS), P(TILE_AXIS), P(), P())
+    # chans is CHANNEL-MAJOR [NC+1, T, P]: the tile axis is dim 1
+    out_spec = (P(None, TILE_AXIS), P(), P())
     fn = shard_map(body, mesh=mesh,
                    in_specs=(splat_spec, cam_spec, P(SPLAT_AXIS),
                              scene_args_spec),
                    out_specs=out_spec, check_vma=False)
-    tile_colors, tile_logtrans, overflow, slab_pairs = fn(
+    chans, overflow, slab_pairs = fn(
         splats, camera, scene_indices, scene_args)
     if return_stats:
         stats = {"overflow": overflow, "slab_pairs": slab_pairs,
                  "exchange_capacity": ecap,
                  "gathered_records": splat_shards * ecap}
-        return tile_colors, tile_logtrans, stats
+        return chans, stats
     if return_overflow:
-        return tile_colors, tile_logtrans, overflow
-    return tile_colors, tile_logtrans
+        return chans, overflow
+    return chans
 
 
 def sharded_render(mesh: Mesh, splats: SplatData, camera: Camera,
@@ -287,12 +291,12 @@ def sharded_render(mesh: Mesh, splats: SplatData, camera: Camera,
                    exchange_capacity: Optional[int] = None):
     """Full sharded render returning the assembled image dict (with the
     exchange + pair-list ``overflow`` counter)."""
-    tile_colors, tile_logtrans, overflow = sharded_render_tiles(
+    chans, overflow = sharded_render_tiles(
         mesh, splats, camera, cfg, capacity,
         transforms=transforms, scene_indices=scene_indices,
         scene_opacities=scene_opacities, scene_visibility=scene_visibility,
         exchange_capacity=exchange_capacity, return_overflow=True)
-    out = assemble_image(tile_colors, tile_logtrans, cfg)
+    out = assemble_image(chans, cfg)
     out["overflow"] = overflow
     return out
 

@@ -472,7 +472,15 @@ def _expand_sort_core(cfg, num_tiles, aux_cap, pack_plan, tile_lo,
     counts_aux = jnp.where(big, counts, 0)
     total_aux = jnp.sum(counts_aux)
     if aux_cap > 0:
-        b_cap = -(-max(128, aux_cap // 2) // 128) * 128   # static
+        # A big splat exceeded the lane rect, so it has >= lanes+1 pairs
+        # (>= 3 for the 2- and 4-lane modes, >= 2 single-lane):
+        # ceil(aux_cap / min_big) table rows provably cover aux_cap pairs
+        # — a third less row-gather traffic than the former aux_cap // 2
+        # (the [B, 5+F] gather is the largest non-sort cost of the 8M
+        # view profile); any splats beyond the table land in the counted
+        # overflow, never silently.
+        min_big = 2 if cfg.lanes == 1 else 3
+        b_cap = -(-max(128, -(-aux_cap // min_big)) // 128) * 128  # static
         iota_n = jnp.arange(n, dtype=jnp.int32)
         # (key, iota) 2-key unstable == stable 1-key (iota order IS input
         # order) minus the hidden tiebreaker pass; big_c stays ASCENDING,
@@ -690,16 +698,37 @@ def _expand_sort_bwd(cfg, num_tiles, aux_cap, n_diff, pack_plan, residuals,
                - prefix.at[starts_i].get(
                    indices_are_sorted=True))               # [B, n_diff]
         owner = jnp.where(counts_c > 0, big_c, n)
-        # Scatter into FRESH zero buffers and add elementwise, rather than
-        # scattering into d[i] in place: an in-place scatter whose operand
-        # has other uses makes XLA insert a defensive full-[N] copy per
-        # field first (9-12 copy passes in the device trace, ~2 ms each at
-        # 2M).  A zero-broadcast operand needs no copy (re-materializing a
-        # broadcast is a memset), and the + folds into the existing
-        # elementwise lane-sum fusion.
-        d = [d[i] + jnp.zeros_like(d[i]).at[owner].add(
-                seg[:, i], mode="drop", indices_are_sorted=True)
-             for i in range(n_diff)]
+        # Every owner scatter costs ~4 ms at 2M on TPU regardless of the
+        # index count (a per-op floor plus a defensive [N] operand copy
+        # XLA inserts — scattering into fresh zero buffers measures the
+        # same; XLA folds it back).  So MINIMIZE THE SCATTER COUNT: pack
+        # non-mean2d segment-sum PAIRS into one int32 of two bf16 halves
+        # and scatter-SET them into zero int32 buffers (owners are unique,
+        # so set == add-into-zeros), then unpack + add elementwise (fused,
+        # ~free).  Policy matches the alignment sort's cotangent packing:
+        # mean2d gradients (the densification signal) stay exact f32; the
+        # bf16 rounding here is one ~2^-9 relative rounding of each BIG
+        # splat's whole aux contribution.  'f32' precision scatters every
+        # field raw (finite-difference-grade).
+        if cfg.record_precision == "f32":
+            raw_scatter = n_diff
+        else:
+            raw_scatter = 2
+        for i in range(raw_scatter):
+            d[i] = d[i].at[owner].add(seg[:, i], mode="drop",
+                                      indices_are_sorted=True)
+        packed_pairs = [(a, a + 1)
+                        for a in range(raw_scatter, n_diff - 1, 2)]
+        for a, b in packed_pairs:
+            packed = _pack_bf16_pair(seg[:, a], seg[:, b])
+            full = jnp.zeros((n,), jnp.int32).at[owner].set(
+                packed, mode="drop", indices_are_sorted=True)
+            ua, ub = _unpack_bf16_pair(full)
+            d[a] = d[a] + ua
+            d[b] = d[b] + ub
+        if (n_diff - raw_scatter) % 2:
+            d[-1] = d[-1].at[owner].add(seg[:, -1], mode="drop",
+                                        indices_are_sorted=True)
 
     # Nones: tile_lo, depth_q, tx0, ty0, wt, ht, counts (integer plumbing),
     # then the n_diff record-field cotangents, then the grad-free fields.

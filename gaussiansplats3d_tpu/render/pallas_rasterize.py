@@ -278,7 +278,7 @@ def _mm_tn(a, b):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def composite_tiles(cfg: RenderConfig, capacity: int,
                     records, tile_starts, tile_counts, tile_ids
-                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    ) -> jnp.ndarray:
     """Pallas tile compositor.
 
     Args:
@@ -290,8 +290,15 @@ def composite_tiles(cfg: RenderConfig, capacity: int,
       tile_ids: [T] global tile ids (pixel-coordinate placement; the
         tile-sharded path passes its slab's global ids).
 
-    Returns (tile_colors [T, P, NC], tile_logtrans [T, P]) — NC is 3, or 4
-    with cfg.return_depth (channel 3 = alpha-weighted depth sum).
+    Returns ``chans [NC + 1, T, P]`` CHANNEL-MAJOR: rows 0..NC-1 are the
+    record channels (rgb, + depth with cfg.return_depth), row NC is the
+    composited ALPHA (sum of per-pair weights, exactly 1 - transmittance
+    by the compositing identity sum_i a_i prod_{j<i}(1-a_j) =
+    1 - prod_i(1-a_i), accumulated by the SAME matmul against a
+    constant-ones channel row).  Channel-major matters: a [T, P, NC]
+    output has XLA lane-pad the minor NC dim to 128 (a ~1 GB buffer at
+    1080p/tile32 that every downstream elementwise pass re-reads), while
+    [NC+1, T, P] tiles cleanly.
     """
     out, _ = _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
                             tile_ids)
@@ -305,7 +312,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
     nc = 4 if cfg.return_depth else 3
 
     def kernel(starts_ref, counts_ref, ids_ref, rec_hbm,
-               colors_out, logt_out, exit_k_out, chunk_vmem, sem):
+               chans_out, logt_out, exit_k_out, chunk_vmem, sem):
         i = pl.program_id(0)
         start = starts_ref[i]
         start_chunk = start // CHUNK
@@ -325,6 +332,8 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
         def _():
             dma_for(jnp.int32(0)).start()
 
+        ones_row = jnp.ones((1, CHUNK), jnp.float32)
+
         def body(state):
             k, col, t, lt = state
             # Prefetch next chunk into the other slot, then consume this one.
@@ -341,7 +350,10 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
             logw = jnp.log1p(-alpha)                  # [P, C]
             excl_log = _mm_tri(logw, True, _FWD_TRI_PASSES)
             w = alpha * (jnp.exp(excl_log) * t)       # [P, C]
-            col = col + _mm_nt(w, rec[5:5 + nc, :])   # [P, NC]
+            # channel rows + a ones row: one [NC+1, C] x [P, C] matmul
+            # accumulates colors AND the alpha sum (see composite_tiles)
+            rec_aug = jnp.concatenate([rec[5:5 + nc, :], ones_row], axis=0)
+            col = col + _mm_nt(rec_aug, w)            # [NC+1, P]
             csum = excl_log[:, CHUNK - 1:CHUNK] + logw[:, CHUNK - 1:CHUNK]
             t = t * jnp.exp(csum)                     # product (may hit 0)
             # log T accumulated per chunk with the _CS_FLOOR clamp — the
@@ -355,7 +367,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
 
         k_end, col, t, lt = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), jnp.zeros((p, nc), jnp.float32),
+            (jnp.int32(0), jnp.zeros((nc + 1, p), jnp.float32),
              jnp.ones((p, 1), jnp.float32),
              jnp.zeros((p, 1), jnp.float32)))
         # Drain the prefetch issued for the chunk after the exit point so
@@ -363,7 +375,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
         @pl.when(k_end < num_chunks)
         def _():
             dma_for(k_end).wait()
-        colors_out[0] = col
+        chans_out[:, 0, :] = col
         logt_out[0] = lt      # finite by construction (>= _CS_FLOOR/chunk)
         exit_k_out[i] = k_end
 
@@ -372,7 +384,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
         grid=(t,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, p, nc), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((nc + 1, 1, p), lambda i, *_: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -384,29 +396,31 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
         ],
     )
 
-    colors, logt3, exit_k = pl.pallas_call(
+    chans, logt3, exit_k = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t, p, nc), jnp.float32),
+            jax.ShapeDtypeStruct((nc + 1, t, p), jnp.float32),
             jax.ShapeDtypeStruct((t, p, 1), jnp.float32),
             jax.ShapeDtypeStruct((t,), jnp.int32),
         ],
     )(tile_starts, tile_counts, tile_ids, records)
-    logt = logt3[:, :, 0]
-    residuals = (records, tile_starts, tile_counts, tile_ids, logt, exit_k)
-    return (colors, logt), residuals
+    # logt3 stays in its [t, p, 1] pallas-private form: only the backward
+    # kernel reads it (as a block input), so XLA never materializes a
+    # sliced copy.
+    residuals = (records, tile_starts, tile_counts, tile_ids, logt3, exit_k)
+    return chans, residuals
 
 
 def _composite_bwd(cfg, capacity, residuals, cotangents):
-    records, tile_starts, tile_counts, tile_ids, logt_fin, exit_k = residuals
-    gcol, glogt = cotangents
+    records, tile_starts, tile_counts, tile_ids, logt3, exit_k = residuals
+    gchans = cotangents                                # [NC+1, T, P]
     t = tile_starts.shape[0]
     p = cfg.tile_size * cfg.tile_size
     nc = 4 if cfg.return_depth else 3
 
     def kernel(starts_ref, counts_ref, ids_ref, exit_k_ref,
-               rec_hbm, logt_blk, gcol_blk, glogt_blk, grad_in_hbm,
+               rec_hbm, logt_blk, gcol_blk, grad_in_hbm,
                grad_hbm, chunk_vmem, gin_vmem, gout_vmem, sem, gsem, wsem):
         del grad_in_hbm   # aliased with grad_hbm (the output ref)
         i = pl.program_id(0)
@@ -418,8 +432,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         k_exit = exit_k_ref[i]
 
         logt_fin_t = logt_blk[0]                      # [P, 1]
-        gcol_t = gcol_blk[0]                          # [P, NC]
-        glogt_t = glogt_blk[0]                        # [P, 1]
+        gcol_t = gcol_blk[:, 0, :]                    # [NC+1, P] (alpha last)
 
         # TILE-LOCAL pixel-moment basis (1, x, y, x^2, xy, y^2): every
         # spatial gradient row is a polynomial moment of d_quad in pixel
@@ -498,8 +511,14 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             t_i = jnp.exp(excl + logt_before)          # [P, C]
             w = alpha * t_i
 
-            cg = _mm(gcol_t, rec[5:5 + nc, :])         # [P, C]
-            d_chan = _mm_tn(gcol_t, w)                 # [NC, C]
+            # Channel rows + the ones row (the alpha-sum channel's
+            # cotangent flows through cg exactly like a color channel —
+            # the old separate log-T cotangent term is subsumed).
+            rec_aug = jnp.concatenate(
+                [rec[5:5 + nc, :], jnp.ones((1, CHUNK), jnp.float32)],
+                axis=0)                                # [NC+1, C]
+            cg = _mm_tn(gcol_t, rec_aug)               # [P, C]
+            d_chan = _mm(gcol_t, w)                    # [NC+1, C]
             u = w * cg
             # Exclusive suffix sum as an MXU matmul with a strict-lower
             # triangular 0/1 matrix: the roll-scan's ~21 VPU ops per
@@ -508,7 +527,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             suffix = _mm_tri(u, False) + sg            # [P, C]
 
             one_minus = jnp.maximum(1.0 - alpha, 1e-6)
-            d_alpha = t_i * cg - suffix / one_minus - glogt_t / one_minus
+            d_alpha = t_i * cg - suffix / one_minus
             gate = (alpha > 0.0) & (alpha < ALPHA_CLAMP)
             d_alpha = jnp.where(gate, d_alpha, 0.0)
 
@@ -543,7 +562,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
                 exx * maskc,
                 2.0 * exy * maskc,
                 eyy * maskc,
-                d_chan * maskc,
+                d_chan[:nc] * maskc,   # the ones row has no record field
                 d_opa * maskc,
                 jnp.zeros((RECORD_WIDTH - 6 - nc, CHUNK), jnp.float32),
             ], axis=0)                                      # [16, C]
@@ -583,10 +602,8 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             pl.BlockSpec(memory_space=pl.ANY),                 # records
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # logt_fin
-            pl.BlockSpec((1, p, nc), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),                # gcol
-            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),                # glogt
+            pl.BlockSpec((nc + 1, 1, p), lambda i, *_: (0, i, 0),
+                         memory_space=pltpu.VMEM),                # gchans
             pl.BlockSpec(memory_space=pl.ANY),                 # grad in
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -608,13 +625,13 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(records.shape, jnp.float32),
-        input_output_aliases={8: 0},
+        input_output_aliases={7: 0},
         # Headroom over Mosaic's default 16 MB scoped-vmem budget (see the
         # matching note in pallas_surfel._bwd; v5e VMEM is 128 MB).
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024),
     )(tile_starts, tile_counts, tile_ids, exit_k,
-      records, logt_fin[:, :, None], gcol, glogt[:, :, None], grad_init)
+      records, logt3, gchans, grad_init)
     return grad_records, None, None, None
 
 

@@ -44,7 +44,11 @@ def composite_sorted(cfg: RenderConfig, pairs: SortedPairs,
     """Backend dispatch for the tile compositor over a SortedPairs record
     set (the fused expand+sort path).
 
-    Returns (tile_colors [T, P, 3], tile_logtrans [T, P]).
+    Returns ``chans [NC + 1, T, P]`` CHANNEL-MAJOR — rows 0..NC-1 the
+    record channels, row NC the composited alpha (= 1 - transmittance).
+    Channel-major keeps the minor dim P-wide: [T, P, NC] tile blocks get
+    their NC dim lane-padded to 128 by XLA (a ~1 GB buffer at 1080p that
+    every downstream pass re-reads; see composite_tiles).
     """
     s_cap = pairs.capacity
     if cfg.return_depth:
@@ -63,7 +67,7 @@ def composite_sorted(cfg: RenderConfig, pairs: SortedPairs,
     chan = [pairs.crs, pairs.cgs, pairs.cbs2]
     if cfg.return_depth:
         chan.append(pairs.depths)
-    return rasterize_pairs(
+    colors, logt = rasterize_pairs(
         cfg, s_cap,
         jnp.stack([pairs.xs, pairs.ys], axis=1),
         jnp.stack([pairs.cas, pairs.cbs, pairs.ccs], axis=1),
@@ -71,45 +75,54 @@ def composite_sorted(cfg: RenderConfig, pairs: SortedPairs,
         pairs.opas,
         jnp.stack([pairs.rxs, pairs.rys], axis=1),
         pairs.tile_starts, pairs.tile_counts, tile_base)
+    return chans_from_colors_logt(colors, logt)
 
 
-def assemble_image(tile_colors: jnp.ndarray, tile_logtrans: jnp.ndarray,
-                   cfg: RenderConfig):
-    """Tile blocks -> (color [H, W, 3], alpha [H, W]) with row 0 at the top.
+def chans_from_colors_logt(colors: jnp.ndarray, logt: jnp.ndarray):
+    """(colors [T, P, NC], logt [T, P]) -> chans [NC+1, T, P] (alpha last).
+
+    Adapter for the XLA-oracle and surfel compositors that still emit the
+    channel-minor pair; the CPU/oracle paths don't care about the TPU
+    lane-padding the channel-major layout avoids."""
+    alpha = 1.0 - jnp.exp(logt)
+    return jnp.concatenate(
+        [jnp.moveaxis(colors, -1, 0), alpha[None]], axis=0)
+
+
+def assemble_image(chans: jnp.ndarray, cfg: RenderConfig):
+    """Channel-major tile blocks [NC+1, T, P] -> (color [H, W, 3],
+    alpha [H, W]) with row 0 at the top.
 
     Tile pixels are GL-oriented (y up); output images are raster-oriented.
-    With cfg.return_depth, tile_colors carries a 4th channel (alpha-weighted
-    depth sum) emitted as ``depth``: the alpha-normalized mean depth, 0 where
-    nothing was hit (SceneHelper.js:38-91 parity — lets callers z-composite).
+    With cfg.return_depth, chans carries a 4th record channel
+    (alpha-weighted depth sum) emitted as ``depth``: the alpha-normalized
+    mean depth, 0 where nothing was hit (SceneHelper.js:38-91 parity —
+    lets callers z-composite).  The channel dim stays MAJOR through the
+    tile->image relayout (minor dims ts x ts per channel); only the final
+    per-channel moveaxis touches a channel-minor array, and it fuses into
+    whatever consumes the image (loss reduces, host transfers).
     """
     ts = cfg.tile_size
     ty, tx = cfg.tiles_y, cfg.tiles_x
-    nc = tile_colors.shape[-1]
-    trans = jnp.exp(tile_logtrans)
+    ncp = chans.shape[0]
+    nc = ncp - 1
 
-    def to_image(tiles, ch):
-        # Keep the channel dim FUSED with the tile-row dim through the
-        # transpose: a [.., ts, ts, ch] transpose leaves ch (3/1) as the
-        # minor dim, which XLA lane-pads to 128 on TPU (up to 42x relayout
-        # traffic); [.., ts, ts*ch] keeps the minor dim >= 96 wide.
-        img = tiles.reshape(ty, tx, ts, ts * ch)
-        img = img.transpose(0, 2, 1, 3).reshape(ty * ts, tx * ts, ch)
-        # GL row y lives at image row H - 1 - y; crop the y/x padding.
-        return img[:cfg.height][::-1, :cfg.width]
+    # [C', T, P] -> [C', H, W]: per-channel tile grid relayout with the
+    # channel dim untouched (major), then crop + GL row flip.
+    img = chans.reshape(ncp, ty, tx, ts, ts)
+    img = img.transpose(0, 1, 3, 2, 4).reshape(ncp, ty * ts, tx * ts)
+    img = img[:, :cfg.height][:, ::-1, :cfg.width]
 
-    # One fused relayout for color + transmittance ([.., ts*(nc+1)] minor).
-    chans = to_image(jnp.concatenate([tile_colors, trans[..., None]],
-                                     axis=-1), nc + 1)
-    color = chans[..., :3]
-    trans_img = chans[..., nc]
+    alpha = img[nc]
+    trans_img = 1.0 - alpha
     bg = jnp.asarray(cfg.background, jnp.float32)
-    alpha = 1.0 - trans_img
+    color = jnp.moveaxis(img[:3], 0, -1)
     out = {
         "color": color + trans_img[..., None] * bg[None, None, :],
         "alpha": alpha,
     }
     if nc == 4:
-        depth = chans[..., 3] / jnp.maximum(alpha, 1e-6)
+        depth = img[3] / jnp.maximum(alpha, 1e-6)
         out["depth"] = jnp.where(alpha > 1e-6, depth, 0.0)
     return out
 
@@ -143,9 +156,8 @@ def render(splats: SplatData, camera: Camera, cfg: RenderConfig,
                           scene_opacities, scene_visibility,
                           fade_params=fade_params)
     pairs = bin_sort_records(proj, cfg)
-    tile_colors, tile_logtrans = composite_sorted(cfg, pairs, 0,
-                                                  cfg.num_tiles)
-    out = assemble_image(tile_colors, tile_logtrans, cfg)
+    chans = composite_sorted(cfg, pairs, 0, cfg.num_tiles)
+    out = assemble_image(chans, cfg)
     if return_aux:
         out["num_pairs"] = pairs.total_pairs
         out["overflow"] = pairs.overflow

@@ -432,14 +432,15 @@ def render_2d_tiled(splats: SplatData, camera: Camera, cfg: RenderConfig,
                     scene_visibility: jnp.ndarray | None = None,
                     return_aux: bool = False):
     """Tiled 2DGS render — the scalable 2D-mode fast path."""
-    from .pipeline import assemble_image
+    from .pipeline import assemble_image, chans_from_colors_logt
 
     sp = project_surfels(splats, camera, cfg, transforms, scene_indices,
                          scene_opacities, scene_visibility)
     recs, starts, tcounts, total, overflow = bin_sort_surfels(sp, cfg)
     tile_colors, tile_logtrans = composite_surfels_sorted(
         cfg, recs, starts, tcounts, 0, cfg.num_tiles)
-    out = assemble_image(tile_colors, tile_logtrans, cfg)
+    out = assemble_image(chans_from_colors_logt(tile_colors, tile_logtrans),
+                         cfg)
     if return_aux:
         out["num_pairs"] = total
         out["overflow"] = overflow

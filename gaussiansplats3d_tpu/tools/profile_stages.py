@@ -104,8 +104,8 @@ def main():
     t_comp = _timeit(comp_fn, pairs)
     print(f"  composite fwd        {t_comp:8.1f} ms", flush=True)
 
-    asm_fn = jax.jit(lambda tc, lt: assemble_image(tc, lt, cfg))
-    t_asm = _timeit(asm_fn, *tiles)
+    asm_fn = jax.jit(lambda ch: assemble_image(ch, cfg))
+    t_asm = _timeit(asm_fn, tiles)
     print(f"  assemble             {t_asm:8.1f} ms", flush=True)
 
     fwd_fn = jax.jit(lambda s: render(s, cam, cfg)["color"])
@@ -120,8 +120,8 @@ def main():
     # --- backward stages ----------------------------------------------------
     # compositor bwd alone (vjp w.r.t. the record fields).
     def comp_loss(p):
-        tc, lt = composite_sorted(cfg, p, 0, cfg.num_tiles)
-        return jnp.sum(tc * tc) + jnp.sum(lt)
+        ch = composite_sorted(cfg, p, 0, cfg.num_tiles)
+        return jnp.sum(ch * ch)
 
     comp_grad = jax.jit(jax.grad(comp_loss, allow_int=True))
     t_comp_bwd = _timeit(comp_grad, pairs) - t_comp

@@ -93,7 +93,7 @@ def run_shape(splats, cfg, splat_shards, tile_shards, iters):
     lanes, aux, pad = slot_layout_for(cfg, gathered)
     sort_slots = lanes * gathered + aux + pad
     n_fields = 13  # 12 record fields + validity lane in the exchange
-    _, _, stats = sharded_render_tiles(
+    _, stats = sharded_render_tiles(
         mesh, sharded, camera, cfg, return_stats=True)
     slab_pairs = np.asarray(stats["slab_pairs"]).tolist()
     return {

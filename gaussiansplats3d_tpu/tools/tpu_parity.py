@@ -98,8 +98,11 @@ def _kernel_grad_fn(cfg):
         comp = composite_tiles
 
     def loss(rec, starts, counts, tile_ids):
-        cols, logt = comp(cfg, rec.shape[1], rec, starts, counts, tile_ids)
-        return jnp.mean(cols * cols) + jnp.mean(logt)
+        out = comp(cfg, rec.shape[1], rec, starts, counts, tile_ids)
+        if cfg.render_mode_2d:
+            cols, logt = out
+            return jnp.mean(cols * cols) + jnp.mean(logt)
+        return jnp.mean(out * out)   # chans [NC+1, T, P] incl. alpha row
 
     return jax.jit(jax.grad(loss))
 
@@ -341,8 +344,8 @@ def run_at_scale(label="at-scale"):
         jax.block_until_ready(g_in)
 
     failures = []
-    _mass_gate(failures, label, "hw-interp fwd colors",
-               np.abs(np.asarray(out_hw[0]) - np.asarray(out_in[0])), 1e-3)
+    _mass_gate(failures, label, "hw-interp fwd chans",
+               np.abs(np.asarray(out_hw) - np.asarray(out_in)), 1e-3)
     a, b = np.asarray(g_hw), np.asarray(g_in)
     scale = max(np.abs(b).max(), 1e-10)
     _mass_gate(failures, label, "hw-interp bwd records",

@@ -63,17 +63,15 @@ def main():
             x.shape, sharding, lambda idx: x[idx])
 
     sp = jax.tree.map(shard_global, splats)
-    tile_colors, tile_logtrans = jax.jit(
+    chans = jax.jit(
         lambda s: sharded_render_tiles(mesh, s, cam, cfg))(sp)
 
-    # collect this process's addressable tile blocks
+    # collect this process's addressable tile blocks (chans is
+    # channel-major [NC+1, T, P], tile-sharded along dim 1)
     local = {}
-    for shard in tile_colors.addressable_shards:
-        t0 = shard.index[0].start or 0
-        local[f"colors_{t0}"] = np.asarray(shard.data)
-    for shard in tile_logtrans.addressable_shards:
-        t0 = shard.index[0].start or 0
-        local[f"logt_{t0}"] = np.asarray(shard.data)
+    for shard in chans.addressable_shards:
+        t0 = shard.index[1].start or 0
+        local[f"chans_{t0}"] = np.asarray(shard.data)
     np.savez(out_path, **local)
     print(f"worker {pid}: ok ({len(local)} shards)", flush=True)
     return 0

@@ -15,6 +15,7 @@ import subprocess
 import sys
 
 import numpy as np
+import jax.numpy as jnp
 
 
 def _free_port():
@@ -65,20 +66,15 @@ def test_two_process_sharded_render(tmp_path):
 
     t = cfg.num_tiles
     p = cfg.tile_size * cfg.tile_size
-    colors = np.full((t, p, 3), np.nan, np.float32)
-    logt = np.full((t, p), np.nan, np.float32)
+    chans = np.full((4, t, p), np.nan, np.float32)
     for out in outs:
         data = np.load(out)
         for key in data.files:
-            kind, t0 = key.rsplit("_", 1)
+            _, t0 = key.rsplit("_", 1)
             t0 = int(t0)
             block = data[key]
-            if kind == "colors":
-                colors[t0:t0 + block.shape[0]] = block
-            else:
-                logt[t0:t0 + block.shape[0]] = block
-    assert not np.isnan(colors).any(), "missing tile blocks"
-    assert not np.isnan(logt).any()
-    out_img = assemble_image(np.asarray(colors), np.asarray(logt), cfg)
+            chans[:, t0:t0 + block.shape[1]] = block
+    assert not np.isnan(chans).any(), "missing tile blocks"
+    out_img = assemble_image(jnp.asarray(chans), cfg)
     assert float(np.abs(np.asarray(out_img["color"])
                         - np.asarray(ref["color"])).max()) < 2e-3

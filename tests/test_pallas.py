@@ -20,6 +20,7 @@ from gaussiansplats3d_tpu.render import (
     projection,
     rasterize,
 )
+from gaussiansplats3d_tpu.render.pipeline import chans_from_colors_logt
 
 
 @pytest.fixture(autouse=True)
@@ -63,38 +64,34 @@ def test_forward_matches_jax_rasterizer():
     cap = pairs.capacity
     fields = _flat_fields(pairs)
     records = pr.pack_records_flat(*fields, pairs.rxs, pairs.rys)
-    col_p, logt_p = pr.composite_tiles(cfg, cap, records, pairs.tile_starts,
-                                       pairs.tile_counts, tile_ids)
-    col_j, logt_j = rasterize.rasterize_pairs(
+    chans_p = pr.composite_tiles(cfg, cap, records, pairs.tile_starts,
+                                 pairs.tile_counts, tile_ids)
+    chans_j = chans_from_colors_logt(*rasterize.rasterize_pairs(
         cfg, cap, *_jax_args(*fields, pairs.rxs, pairs.rys),
-        pairs.tile_starts, pairs.tile_counts, 0)
+        pairs.tile_starts, pairs.tile_counts, 0))
     # Early exit truncates contributions below T ~ 1/512.
-    assert jnp.max(jnp.abs(col_p - col_j)) < 4e-3
-    assert jnp.max(jnp.abs(jnp.exp(logt_p) - jnp.exp(logt_j))) < 4e-3
+    assert jnp.max(jnp.abs(chans_p - chans_j)) < 4e-3
 
 
 def test_backward_matches_jax_rasterizer():
     cfg, pairs, tile_ids = build_inputs(n=400)
     cap = pairs.capacity
     fields = _flat_fields(pairs)
-    gc = 0.1 * jax.random.normal(
+    gch = 0.1 * jax.random.normal(
         jax.random.PRNGKey(0),
-        (cfg.num_tiles, cfg.tile_size ** 2, 3), jnp.float32)
-    gl = 0.1 * jax.random.normal(
-        jax.random.PRNGKey(1),
-        (cfg.num_tiles, cfg.tile_size ** 2), jnp.float32)
+        (4, cfg.num_tiles, cfg.tile_size ** 2), jnp.float32)
 
     def f_p(*fs):
-        c, l = pr.composite_tiles(
+        ch = pr.composite_tiles(
             cfg, cap, pr.pack_records_flat(*fs, pairs.rxs, pairs.rys),
             pairs.tile_starts, pairs.tile_counts, tile_ids)
-        return jnp.sum(c * gc) + jnp.sum(l * gl)
+        return jnp.sum(ch * gch)
 
     def f_j(*fs):
-        c, l = rasterize.rasterize_pairs(
+        ch = chans_from_colors_logt(*rasterize.rasterize_pairs(
             cfg, cap, *_jax_args(*fs, pairs.rxs, pairs.rys),
-            pairs.tile_starts, pairs.tile_counts, 0)
-        return jnp.sum(c * gc) + jnp.sum(l * gl)
+            pairs.tile_starts, pairs.tile_counts, 0))
+        return jnp.sum(ch * gch)
 
     argnums = tuple(range(9))
     gp = jax.grad(f_p, argnums=argnums)(*fields)
