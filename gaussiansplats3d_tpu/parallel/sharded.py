@@ -124,11 +124,10 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
         multi-scene dynamic mode; ``scene_indices`` is per-splat (sharded
         with the splats), the rest are tiny per-scene arrays (replicated).
 
-    Returns ``chans [NC+1, T, P]`` channel-major (record channels then
-    composited alpha; see ``pipeline.composite_sorted``) — one global
-    logical array sharded over the TILE axis (dim 1) — plus a replicated
-    overflow scalar (exchange drops + pair-list drops) when
-    ``return_overflow``.
+    Returns ``chans [T, NC+1, P]`` (record channels then composited
+    alpha; see ``pipeline.composite_sorted``) — one global logical array
+    sharded over the TILE axis (dim 0) — plus a replicated overflow
+    scalar (exchange drops + pair-list drops) when ``return_overflow``.
     """
     del capacity  # superseded by the fused expand+sort slot layout
     tile_shards = mesh.shape[TILE_AXIS]
@@ -263,8 +262,8 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
     scene_args = (transforms if has_scenes else None,
                   scene_opacities, scene_visibility)
     scene_args_spec = jax.tree.map(lambda _: P(), scene_args)
-    # chans is CHANNEL-MAJOR [NC+1, T, P]: the tile axis is dim 1
-    out_spec = (P(None, TILE_AXIS), P(), P())
+    # chans is [T, NC+1, P]: the tile axis is dim 0
+    out_spec = (P(TILE_AXIS), P(), P())
     fn = shard_map(body, mesh=mesh,
                    in_specs=(splat_spec, cam_spec, P(SPLAT_AXIS),
                              scene_args_spec),

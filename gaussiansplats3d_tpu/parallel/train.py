@@ -114,16 +114,16 @@ def make_train_step(cfg: RenderConfig, mesh, optimizer,
 
     def loss_fn(params: SplatParams, camera: Camera, target_tiles, tile_mask):
         splats = params.to_splats()
-        # chans is channel-major [NC+1, T, P] (alpha last); the moveaxis
-        # of the [T, P, C] targets fuses into the elementwise error.
+        # chans is [T, NC+1, P] (alpha last); the moveaxis of the
+        # [T, P, C] targets fuses into the elementwise error.
         chans = sharded_render_tiles(
             mesh, splats, camera, cfg,
             exchange_capacity=exchange_capacity)
         bg = jnp.asarray(cfg.background, jnp.float32)
-        trans = 1.0 - chans[-1]
-        rendered = chans[:3] + trans[None] * bg[:, None, None]
-        target = jnp.moveaxis(target_tiles, -1, 0)
-        err = (rendered - target) ** 2 * tile_mask[None]
+        trans = 1.0 - chans[:, -1]
+        rendered = chans[:, :3] + trans[:, None] * bg[None, :, None]
+        target = jnp.moveaxis(target_tiles, -1, 1)
+        err = (rendered - target) ** 2 * tile_mask[:, None]
         loss = jnp.sum(err) / (jnp.sum(tile_mask) * 3.0)
         return loss
 

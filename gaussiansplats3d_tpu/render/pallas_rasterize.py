@@ -290,15 +290,17 @@ def composite_tiles(cfg: RenderConfig, capacity: int,
       tile_ids: [T] global tile ids (pixel-coordinate placement; the
         tile-sharded path passes its slab's global ids).
 
-    Returns ``chans [NC + 1, T, P]`` CHANNEL-MAJOR: rows 0..NC-1 are the
+    Returns ``chans [T, NC + 1, P]``: per tile, rows 0..NC-1 are the
     record channels (rgb, + depth with cfg.return_depth), row NC is the
     composited ALPHA (sum of per-pair weights, exactly 1 - transmittance
     by the compositing identity sum_i a_i prod_{j<i}(1-a_j) =
     1 - prod_i(1-a_i), accumulated by the SAME matmul against a
-    constant-ones channel row).  Channel-major matters: a [T, P, NC]
-    output has XLA lane-pad the minor NC dim to 128 (a ~1 GB buffer at
-    1080p/tile32 that every downstream elementwise pass re-reads), while
-    [NC+1, T, P] tiles cleanly.
+    constant-ones channel row).  The channel dim sits SECOND-MINOR: a
+    [T, P, NC] output has XLA lane-pad the minor NC dim to 128 (a ~1 GB
+    buffer at 1080p/tile32 that every downstream elementwise pass
+    re-reads), while [T, NC+1, P] pads only NC+1 -> 8 sublanes (~2x on
+    33 MB) and keeps per-tile blocks Mosaic-legal ((1, NC+1, P): the
+    last two block dims equal the array dims).
     """
     out, _ = _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
                             tile_ids)
@@ -375,7 +377,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
         @pl.when(k_end < num_chunks)
         def _():
             dma_for(k_end).wait()
-        chans_out[:, 0, :] = col
+        chans_out[0] = col
         logt_out[0] = lt      # finite by construction (>= _CS_FLOOR/chunk)
         exit_k_out[i] = k_end
 
@@ -384,7 +386,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
         grid=(t,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((nc + 1, 1, p), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((1, nc + 1, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -400,7 +402,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((nc + 1, t, p), jnp.float32),
+            jax.ShapeDtypeStruct((t, nc + 1, p), jnp.float32),
             jax.ShapeDtypeStruct((t, p, 1), jnp.float32),
             jax.ShapeDtypeStruct((t,), jnp.int32),
         ],
@@ -414,7 +416,7 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
 
 def _composite_bwd(cfg, capacity, residuals, cotangents):
     records, tile_starts, tile_counts, tile_ids, logt3, exit_k = residuals
-    gchans = cotangents                                # [NC+1, T, P]
+    gchans = cotangents                                # [T, NC+1, P]
     t = tile_starts.shape[0]
     p = cfg.tile_size * cfg.tile_size
     nc = 4 if cfg.return_depth else 3
@@ -432,7 +434,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         k_exit = exit_k_ref[i]
 
         logt_fin_t = logt_blk[0]                      # [P, 1]
-        gcol_t = gcol_blk[:, 0, :]                    # [NC+1, P] (alpha last)
+        gcol_t = gcol_blk[0]                          # [NC+1, P] (alpha last)
 
         # TILE-LOCAL pixel-moment basis (1, x, y, x^2, xy, y^2): every
         # spatial gradient row is a polynomial moment of d_quad in pixel
@@ -602,7 +604,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             pl.BlockSpec(memory_space=pl.ANY),                 # records
             pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # logt_fin
-            pl.BlockSpec((nc + 1, 1, p), lambda i, *_: (0, i, 0),
+            pl.BlockSpec((1, nc + 1, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # gchans
             pl.BlockSpec(memory_space=pl.ANY),                 # grad in
         ],

@@ -44,11 +44,12 @@ def composite_sorted(cfg: RenderConfig, pairs: SortedPairs,
     """Backend dispatch for the tile compositor over a SortedPairs record
     set (the fused expand+sort path).
 
-    Returns ``chans [NC + 1, T, P]`` CHANNEL-MAJOR — rows 0..NC-1 the
+    Returns ``chans [T, NC + 1, P]`` — per tile, rows 0..NC-1 the
     record channels, row NC the composited alpha (= 1 - transmittance).
-    Channel-major keeps the minor dim P-wide: [T, P, NC] tile blocks get
-    their NC dim lane-padded to 128 by XLA (a ~1 GB buffer at 1080p that
-    every downstream pass re-reads; see composite_tiles).
+    The channel dim sits second-minor so the minor dim stays P-wide:
+    [T, P, NC] tile blocks get their NC dim lane-padded to 128 by XLA (a
+    ~1 GB buffer at 1080p that every downstream pass re-reads; see
+    composite_tiles).
     """
     s_cap = pairs.capacity
     if cfg.return_depth:
@@ -79,18 +80,18 @@ def composite_sorted(cfg: RenderConfig, pairs: SortedPairs,
 
 
 def chans_from_colors_logt(colors: jnp.ndarray, logt: jnp.ndarray):
-    """(colors [T, P, NC], logt [T, P]) -> chans [NC+1, T, P] (alpha last).
+    """(colors [T, P, NC], logt [T, P]) -> chans [T, NC+1, P] (alpha last).
 
     Adapter for the XLA-oracle and surfel compositors that still emit the
     channel-minor pair; the CPU/oracle paths don't care about the TPU
-    lane-padding the channel-major layout avoids."""
+    lane-padding the channel-second-minor layout avoids."""
     alpha = 1.0 - jnp.exp(logt)
     return jnp.concatenate(
-        [jnp.moveaxis(colors, -1, 0), alpha[None]], axis=0)
+        [jnp.moveaxis(colors, -1, 1), alpha[:, None]], axis=1)
 
 
 def assemble_image(chans: jnp.ndarray, cfg: RenderConfig):
-    """Channel-major tile blocks [NC+1, T, P] -> (color [H, W, 3],
+    """Tile blocks [T, NC+1, P] (alpha last) -> (color [H, W, 3],
     alpha [H, W]) with row 0 at the top.
 
     Tile pixels are GL-oriented (y up); output images are raster-oriented.
@@ -104,13 +105,14 @@ def assemble_image(chans: jnp.ndarray, cfg: RenderConfig):
     """
     ts = cfg.tile_size
     ty, tx = cfg.tiles_y, cfg.tiles_x
-    ncp = chans.shape[0]
+    ncp = chans.shape[1]
     nc = ncp - 1
 
-    # [C', T, P] -> [C', H, W]: per-channel tile grid relayout with the
-    # channel dim untouched (major), then crop + GL row flip.
-    img = chans.reshape(ncp, ty, tx, ts, ts)
-    img = img.transpose(0, 1, 3, 2, 4).reshape(ncp, ty * ts, tx * ts)
+    # [T, C', P] -> [C', H, W]: per-channel tile grid relayout with the
+    # channel dim left second-minor until the transpose, then crop + GL
+    # row flip.
+    img = chans.reshape(ty, tx, ncp, ts, ts)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(ncp, ty * ts, tx * ts)
     img = img[:, :cfg.height][:, ::-1, :cfg.width]
 
     alpha = img[nc]

@@ -67,10 +67,10 @@ def main():
         lambda s: sharded_render_tiles(mesh, s, cam, cfg))(sp)
 
     # collect this process's addressable tile blocks (chans is
-    # channel-major [NC+1, T, P], tile-sharded along dim 1)
+    # [T, NC+1, P], tile-sharded along dim 0)
     local = {}
     for shard in chans.addressable_shards:
-        t0 = shard.index[1].start or 0
+        t0 = shard.index[0].start or 0
         local[f"chans_{t0}"] = np.asarray(shard.data)
     np.savez(out_path, **local)
     print(f"worker {pid}: ok ({len(local)} shards)", flush=True)

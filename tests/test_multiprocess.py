@@ -66,14 +66,14 @@ def test_two_process_sharded_render(tmp_path):
 
     t = cfg.num_tiles
     p = cfg.tile_size * cfg.tile_size
-    chans = np.full((4, t, p), np.nan, np.float32)
+    chans = np.full((t, 4, p), np.nan, np.float32)
     for out in outs:
         data = np.load(out)
         for key in data.files:
             _, t0 = key.rsplit("_", 1)
             t0 = int(t0)
             block = data[key]
-            chans[:, t0:t0 + block.shape[1]] = block
+            chans[t0:t0 + block.shape[0]] = block
     assert not np.isnan(chans).any(), "missing tile blocks"
     out_img = assemble_image(jnp.asarray(chans), cfg)
     assert float(np.abs(np.asarray(out_img["color"])

@@ -79,7 +79,7 @@ def test_backward_matches_jax_rasterizer():
     fields = _flat_fields(pairs)
     gch = 0.1 * jax.random.normal(
         jax.random.PRNGKey(0),
-        (4, cfg.num_tiles, cfg.tile_size ** 2), jnp.float32)
+        (cfg.num_tiles, 4, cfg.tile_size ** 2), jnp.float32)
 
     def f_p(*fs):
         ch = pr.composite_tiles(
