@@ -44,7 +44,7 @@ from ..core.types import RenderConfig
 from .pallas_rasterize import (
     CHUNK,
     _CS_FLOOR,
-    _excl_prefix_prod_lanes,
+    _FWD_TRI_PASSES,
     _mm,
     _mm_nt,
     _mm_tn,
@@ -160,15 +160,18 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
             alpha = _surfel_chunk_alpha(rec, px, py, window,
                                         cfg.min_alpha, nc)[0]
-            # product-space transmittance (see pallas_rasterize: one exp per
-            # pair-pixel total; the backward replay stays in log space)
-            excl, cprod = _excl_prefix_prod_lanes(1.0 - alpha)
-            w = alpha * (excl * t)
+            # log-space MXU prefix (2 bf16 limbs — pallas_rasterize
+            # _FWD_TRI_PASSES: measured ~24% faster than the roll-multiply
+            # product scan in the 3D kernel's ablation, same error bound)
+            logw = jnp.log1p(-alpha)
+            excl_log = _mm_tri(logw, True, _FWD_TRI_PASSES)
+            w = alpha * (jnp.exp(excl_log) * t)
             col = col + _mm_nt(w, rec[11:11 + nc, :])
-            t = t * cprod
+            csum = excl_log[:, CHUNK - 1:CHUNK] + logw[:, CHUNK - 1:CHUNK]
+            t = t * jnp.exp(csum)
             # per-chunk clamped log T accumulation (pallas_rasterize
             # _CS_FLOOR note: keeps the backward replay bounded/exact)
-            lt = lt + jnp.maximum(jnp.log(cprod), _CS_FLOOR)
+            lt = lt + jnp.maximum(csum, _CS_FLOOR)
             return k + 1, col, t, lt
 
         def cond(state):
