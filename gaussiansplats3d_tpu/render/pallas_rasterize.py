@@ -473,13 +473,24 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
                 grad_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
                 wsem.at[slot])
 
+        # Only a tile's FIRST and LAST chunks can be shared with a
+        # neighboring tile's floor-aligned window (pair ranges are
+        # contiguous CSR) — interior chunks are exclusively owned and
+        # still hold their zero init, so their gradient read is skipped:
+        # the RMW read traffic drops from exit_k to <= 2 chunks per tile
+        # (mean exit_k ~5 at 2M).
+        def is_boundary(j):
+            return (j == 0) | (j == num_chunks - 1)
+
         # Replay starts at the forward's exit chunk: chunks beyond it never
         # ran forward, contribute zero gradient (the buffer is zero-init)
         # and must not perturb the transmittance replay — skip them.
         @pl.when(k_exit > 0)
         def _():
             dma_for(k_exit - 1).start()
-            grad_read_for(k_exit - 1).start()
+            @pl.when(is_boundary(k_exit - 1))
+            def _():
+                grad_read_for(k_exit - 1).start()
 
         def body(state):
             k, logt_after, sg = state
@@ -488,12 +499,15 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             @pl.when(k > 0)
             def _():
                 dma_for(k - 1).start()
-                # before reusing gin slot (k-1)%2 = (k+1)%2, its previous
-                # outbound write (chunk k+1) must have drained
+                # before chunk k-1's computation reuses gout slot
+                # (k-1)%2 = (k+1)%2, chunk k+1's outbound write from that
+                # slot must have drained
                 @pl.when(k + 1 < k_exit)
                 def _():
                     grad_write_for(k + 1).wait()
-                grad_read_for(k - 1).start()
+                @pl.when(is_boundary(k - 1))
+                def _():
+                    grad_read_for(k - 1).start()
             dma_for(k).wait()
             rec = chunk_vmem[jax.lax.rem(k, 2)]
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
@@ -571,13 +585,18 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             # Pipelined read-modify-write accumulation: adjacent tiles
             # share floor-aligned boundary chunks, so contributions ADD
             # into the zero-initialized (aliased) gradient buffer.  The
-            # inbound grad read was prefetched one iteration ago; the
-            # outbound write drains before its staging slot is reused and
-            # fully at kernel end (the next grid step may touch the
-            # boundary chunk).
+            # inbound grad read (boundary chunks only — see is_boundary)
+            # was prefetched one iteration ago; the outbound write drains
+            # before its staging slot is reused and fully at kernel end
+            # (the next grid step may touch the boundary chunk).
             slot = jax.lax.rem(k, 2)
-            grad_read_for(k).wait()
-            gout_vmem[slot] = gin_vmem[slot] + gr
+            @pl.when(is_boundary(k))
+            def _():
+                grad_read_for(k).wait()
+                gout_vmem[slot] = gin_vmem[slot] + gr
+            @pl.when(~is_boundary(k))
+            def _():
+                gout_vmem[slot] = gr
             grad_write_for(k).start()
 
             sg = sg + active * jnp.sum(u, axis=1, keepdims=True)

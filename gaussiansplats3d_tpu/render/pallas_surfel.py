@@ -237,6 +237,7 @@ def _bwd(cfg, capacity, residuals, cotangents):
         start_chunk = start // CHUNK
         count = counts_ref[i]
         px, py = _pixel_coords(ids_ref[i], cfg)
+        num_chunks = pl.cdiv(start % CHUNK + count, CHUNK)
         k_exit = exit_k_ref[i]
 
         logt_fin_t = logt_blk[0]
@@ -262,10 +263,17 @@ def _bwd(cfg, capacity, residuals, cotangents):
                 grad_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
                 wsem.at[slot])
 
+        # Boundary-only RMW reads (see pallas_rasterize: only a tile's
+        # first/last chunks can be shared with a neighboring tile).
+        def is_boundary(j):
+            return (j == 0) | (j == num_chunks - 1)
+
         @pl.when(k_exit > 0)
         def _():
             dma_for(k_exit - 1).start()
-            grad_read_for(k_exit - 1).start()
+            @pl.when(is_boundary(k_exit - 1))
+            def _():
+                grad_read_for(k_exit - 1).start()
 
         def body(state):
             k, logt_after, sg = state
@@ -276,7 +284,9 @@ def _bwd(cfg, capacity, residuals, cotangents):
                 @pl.when(k + 1 < k_exit)
                 def _():
                     grad_write_for(k + 1).wait()
-                grad_read_for(k - 1).start()
+                @pl.when(is_boundary(k - 1))
+                def _():
+                    grad_read_for(k - 1).start()
             dma_for(k).wait()
             rec = chunk_vmem[jax.lax.rem(k, 2)]
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
@@ -355,8 +365,13 @@ def _bwd(cfg, capacity, residuals, cotangents):
                                   jnp.float32)], axis=0)        # [24, C]
 
             slot = jax.lax.rem(k, 2)
-            grad_read_for(k).wait()
-            gout_vmem[slot] = gin_vmem[slot] + gr
+            @pl.when(is_boundary(k))
+            def _():
+                grad_read_for(k).wait()
+                gout_vmem[slot] = gin_vmem[slot] + gr
+            @pl.when(~is_boundary(k))
+            def _():
+                gout_vmem[slot] = gr
             grad_write_for(k).start()
 
             sg = sg + jnp.sum(u, axis=1, keepdims=True)
