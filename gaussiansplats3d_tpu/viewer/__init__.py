@@ -11,6 +11,7 @@ from .enums import (  # noqa: F401
     SceneRevealMode,
     SplatRenderMode,
 )
+from .info_panel import InfoPanel  # noqa: F401
 from .helpers import (  # noqa: F401
     apply_overlay,
     composite_with_depth,

@@ -261,3 +261,33 @@ def test_viewer_log_level_smoke():
 
     make_viewer(log_level=LogLevel.WARNING)
     make_viewer(log_level=LogLevel.NONE)
+
+
+def test_info_panel_rows():
+    """Headless InfoPanel parity: the reference's debug rows as data
+    (ui/InfoPanel.js:104-147 update fields)."""
+    from gaussiansplats3d_tpu.utils.metrics import FrameStats
+    from gaussiansplats3d_tpu.viewer import InfoPanel
+
+    viewer = gs.Viewer(width=128, height=96,
+                       max_spherical_harmonics_degree=0,
+                       splat_scale=1.5, focal_adjustment=2.0)
+    viewer.add_splat_scene(gs.random_splats(jax.random.PRNGKey(0), 100,
+                                            sh_degree=0))
+    panel = InfoPanel()
+    stats = FrameStats(wall_ms=20.0, num_splats=100, num_pairs=250,
+                       width=128, height=96)
+    rows = panel.update(viewer, stats=stats,
+                        cursor_position=(1.0, 2.0, 3.0))
+    assert rows["renderWindow"] == "128 x 96"
+    assert rows["fps"] == "50"
+    assert "250 pairs over 100 splats" in rows["renderSplatCount"]
+    assert rows["cursorPosition"].startswith("1.00000, 2.00000")
+    assert rows["orthographicCamera"] == "Perspective"
+    assert rows["splatScale"] == "1.500"
+    assert rows["focalAdjustment"] == "2.000"
+    text = panel.format_text()
+    assert "Splat render count" in text and "FPS" in text
+    # no stats -> N/A rows, no crash
+    rows2 = panel.update(viewer)
+    assert rows2["fps"] == "N/A" and "100 splats" in rows2["renderSplatCount"]
