@@ -169,6 +169,14 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
             y, ry = proj.mean2d[:, 1], proj.radius[:, 1]
         else:
             y, ry = proj.ys, proj.ry
+        if cfg.record_precision == "packed" and not cfg.render_mode_2d:
+            # Route with the SAME u8-log-decoded radius binning will use:
+            # the codec only inflates (ceil), so filtering on the raw
+            # radius could silently skip a splat whose inflated rect
+            # crosses into this slab's first tile row (the compositor's
+            # hard cutoff is the decoded box — box contract).
+            from ..render.binning import _rad_decode_u8, _rad_encode_u8
+            ry = _rad_decode_u8(_rad_encode_u8(ry))
         ty0 = jnp.floor((y - ry) / ts).astype(jnp.int32)
         ty1 = jnp.floor((y + ry) / ts).astype(jnp.int32)
         touch = proj.mask & (ty1 >= ty_lo) & (ty0 < ty_hi)
@@ -242,8 +250,12 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                                      depth_bounds=(dmin, dmax))
             chans = composite_sorted(cfg, pairs, tile_lo, local_tiles)
             pair_ovf = pairs.overflow
+        # dropped (exchange) is per-(splat shard, slab) -> sum over BOTH
+        # axes; pair_ovf is computed from the all_gathered records so it is
+        # already identical across the splat axis — summing it over
+        # SPLAT_AXIS too would over-report pair drops splat_shards-fold.
         overflow = jax.lax.psum(
-            jax.lax.psum(dropped + pair_ovf, SPLAT_AXIS), TILE_AXIS)
+            jax.lax.psum(dropped, SPLAT_AXIS) + pair_ovf, TILE_AXIS)
         # Per-slab pair demand (identical across the splat axis after the
         # all_gather): [tile_shards], replicated — the scaling harness's
         # per-device work-volume probe (tools/scaling_bench.py).

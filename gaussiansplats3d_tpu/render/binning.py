@@ -157,10 +157,14 @@ def _pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     would flush small cotangents to zero)."""
     def q(v):
         u = jax.lax.bitcast_convert_type(v, jnp.uint32)
-        # Clamp magnitude to bf16-max (0x7F7F____) BEFORE rounding: finite
-        # f32 above ~3.3895e38 would otherwise round to +/-inf and poison
-        # the downstream scatter-add.
+        # Clamp magnitude to bf16-max (0x7F7F____) BEFORE rounding — but
+        # only for FINITE values: finite f32 above ~3.3895e38 would
+        # otherwise round to +/-inf and poison the downstream scatter-add,
+        # while a genuine Inf/NaN must PROPAGATE (clamping it would
+        # launder a numerical blowup into a huge-but-finite update that
+        # every isfinite gate downstream then misses).
         mag = jnp.minimum(u & jnp.uint32(0x7FFFFFFF), jnp.uint32(0x7F7F7FFF))
+        mag = jnp.where(jnp.isfinite(v), mag, u & jnp.uint32(0x7FFFFFFF))
         u = (u & jnp.uint32(0x80000000)) | mag
         u = u + 0x7FFF + ((u >> 16) & 1)          # round to nearest even
         return u >> 16

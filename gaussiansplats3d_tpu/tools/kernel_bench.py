@@ -88,11 +88,14 @@ def build_variant(cfg, variant: str):
             elif variant.startswith("mxu_scan"):
                 # log-space prefix on the MXU via the bf16 limb split
                 # (Mosaic has no Precision.HIGH lowering; _mm_tri splits
-                # the data operand into _TRI_PASSES bf16 limbs instead).
+                # the data operand into bf16 limbs).  Pass the limb count
+                # LOCALLY — mutating the module global would silently
+                # degrade the production backward scan for the rest of
+                # the process.
                 from gaussiansplats3d_tpu.render import pallas_rasterize
-                pallas_rasterize._TRI_PASSES = int(variant[-1])
                 logw = jnp.log1p(-alpha)
-                excl_log = pallas_rasterize._mm_tri(logw, True)
+                excl_log = pallas_rasterize._mm_tri(
+                    logw, True, int(variant[-1]))
                 w = alpha * (jnp.exp(excl_log) * t)
                 csum = excl_log[:, CHUNK - 1:CHUNK] + logw[:, CHUNK - 1:CHUNK]
                 t = jnp.maximum(t * jnp.exp(csum), _T_FLOOR)

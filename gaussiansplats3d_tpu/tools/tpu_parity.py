@@ -188,27 +188,14 @@ def run(cfg_kwargs, label):
     failures = []
 
     def gate(err, bar, what):
-        # Dual criterion: every hard threshold in the pipeline (1e-4 early
-        # exit, min_alpha, ALPHA_CLAMP, the support box) is a discrete
-        # decision fed by transcendentals whose last ulp differs between
-        # the TPU VPU and host libm.  A 1-ulp alpha difference flips one
-        # tile's exit chunk or one fragment's cutoff, moving ISOLATED
-        # elements by a full truncated-tail quantum (~the 1e-4 exit tail /
-        # (1-alpha)) while the rest of the field matches to ~1e-5.  A real
-        # compilation bug corrupts the FIELD, so gate on error mass — the
-        # 99.9th percentile and the over-bar fraction — plus a 60x
-        # catastrophic cap on the max.
-        p999 = float(np.quantile(err, 0.999))
-        frac = float((err > bar).mean())
-        mx = float(err.max())
-        print(f"[{label}] {what:22s} max {mx:9.3e}  p99.9 {p999:9.3e}  "
-              f"frac>{bar:g} {frac:.1e}")
-        if not np.isfinite(err).all():
-            failures.append(f"{label}/{what}: non-finite")
-        elif p999 > bar or frac > 1e-3 or mx > 60 * bar:
-            failures.append(
-                f"{label}/{what}: p99.9 {p999:.3e} frac {frac:.1e} "
-                f"max {mx:.3e}")
+        # Dual criterion (see _mass_gate, the single implementation):
+        # every hard threshold in the pipeline (1e-4 early exit,
+        # min_alpha, ALPHA_CLAMP, the support box) is a discrete decision
+        # fed by transcendentals whose last ulp differs between the TPU
+        # VPU and host libm — isolated elements may move by a full
+        # truncated-tail quantum while the field matches to ~1e-5, so
+        # gate on error MASS, never elementwise max alone.
+        _mass_gate(failures, label, what, err, bar)
 
     # 1. compiled vs interpret: identical semantics, tight bar
     for key in channels:

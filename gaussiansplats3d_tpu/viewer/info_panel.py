@@ -75,8 +75,11 @@ class InfoPanel:
         view = np.asarray(cam.view, np.float64)
         # camera basis rows in world space: view rotation transposed
         up = view[:3, :3].T @ np.array([0.0, 1.0, 0.0])
-        if look_at is None and getattr(viewer, "orbit", None) is not None:
-            look_at = getattr(viewer.orbit, "target", None)
+        if look_at is None:
+            # the Viewer embeds its OrbitCamera as .camera (viewer.py);
+            # its .target is the reference's OrbitControls look-at
+            look_at = getattr(getattr(viewer, "camera", None),
+                              "target", None)
 
         rows = {
             "cameraPosition": _vec3(cam.cam_pos),

@@ -341,7 +341,10 @@ class Viewer:
         # fade radius keeps the frame key "dirty" (visibleRegionChanging
         # forces shouldRender in the reference, Viewer.js:1561-1597)
         fade = self.visible_region.tick(self.scene_reveal_mode)
+        # return_aux is part of the key: a cached no-aux frame must not be
+        # handed to a caller expecting num_pairs/overflow
         scene_key = (
+            return_aux,
             None if fade is None else (tuple(fade[0]), fade[1]),
             tuple((s.splats_version, tuple(np.asarray(s.position)),
                    tuple(np.asarray(s.quaternion)),
