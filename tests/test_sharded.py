@@ -296,3 +296,23 @@ def test_train_step_2d_surfel_reduces_loss():
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0] * 0.9, losses
     assert all(jnp.isfinite(jnp.asarray(losses)))
+
+
+def test_sharded_packed_matches_single_device():
+    """record_precision='packed' through the sharded path: slab routing
+    must use the u8-log-DECODED (inflated) support radius, exactly like
+    binning's rect builder — a raw-radius filter silently drops splats
+    whose inflated rect crosses a slab boundary (box contract)."""
+    import dataclasses
+    splats = scene(400, seed=9)
+    # big splats so support rects straddle tile-slab boundaries
+    big = (jnp.arange(400) % 7 == 0)[:, None]
+    splats = dataclasses.replace(
+        splats, scales=jnp.where(big, splats.scales * 6.0, splats.scales))
+    cfg = CFG.replace(record_precision="packed", forward_only=True)
+    ref = gs.render(splats, CAM, cfg)
+    mesh = make_mesh(splat_shards=2, tile_shards=4)
+    sp = device_put_sharded_splats(splats, mesh)
+    out = jax.jit(lambda s: sharded_render(mesh, s, CAM, cfg))(sp)
+    assert int(out["overflow"]) == 0
+    assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 4e-3
