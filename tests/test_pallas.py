@@ -164,3 +164,45 @@ def test_depth_channel_pallas_matches_oracle():
         a, b = getattr(gp, name), getattr(gj, name)
         scale = max(float(jnp.abs(b).max()), 1e-10)
         assert float(jnp.abs(a - b).max()) / scale < 1e-2, name
+
+
+def test_backward_many_tiles_share_one_chunk():
+    """Boundary-RMW stress: tiny per-tile pair windows put MANY tiles'
+    whole [start, start+count) ranges inside the SAME floor-aligned
+    128-pair chunk, so consecutive grid steps read-modify-write one
+    gradient chunk back to back (every chunk is simultaneously a first
+    AND last chunk).  Gradients must still match the XLA rasterizer."""
+    cfg, pairs, tile_ids = build_inputs(n=300, width=256, height=256,
+                                        seed=13)
+    counts = np.asarray(pairs.tile_counts)
+    # the scenario must actually occur: several tiles within one chunk
+    starts = np.asarray(pairs.tile_starts)
+    same_chunk = (starts // 128 == (starts + np.maximum(counts - 1, 0))
+                  // 128) & (counts > 0)
+    assert same_chunk.sum() >= 8, (same_chunk.sum(), counts.max())
+
+    cap = pairs.capacity
+    fields = _flat_fields(pairs)
+    gch = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(4),
+        (cfg.num_tiles, 4, cfg.tile_size ** 2), jnp.float32)
+
+    def f_p(*fs):
+        ch = pr.composite_tiles(
+            cfg, cap, pr.pack_records_flat(*fs, pairs.rxs, pairs.rys),
+            pairs.tile_starts, pairs.tile_counts, tile_ids)
+        return jnp.sum(ch * gch)
+
+    def f_j(*fs):
+        ch = chans_from_colors_logt(*rasterize.rasterize_pairs(
+            cfg, cap, *_jax_args(*fs, pairs.rxs, pairs.rys),
+            pairs.tile_starts, pairs.tile_counts, 0))
+        return jnp.sum(ch * gch)
+
+    argnums = tuple(range(9))
+    gp = jax.grad(f_p, argnums=argnums)(*fields)
+    gj = jax.grad(f_j, argnums=argnums)(*fields)
+    for name, a, b in zip(("x", "y", "ca", "cb", "cc", "r", "g", "b",
+                           "opacity"), gp, gj):
+        scale = max(float(jnp.abs(b).max()), 1e-10)
+        assert float(jnp.abs(a - b).max()) / scale < 5e-3, name
