@@ -206,6 +206,30 @@ def main():
         print(f"  {variant:12s} {ms:8.1f} ms   (mean exit_k {mean_exit:.1f})",
               flush=True)
 
+    # --- isolated REAL kernels: fwd via _composite_fwd, bwd via
+    # _composite_bwd on the fwd's residuals (the production custom-vjp
+    # pair, no surrounding pipeline), at 2/3/6 backward tri-matmul limbs
+    from gaussiansplats3d_tpu.render import pallas_rasterize as prmod
+
+    fwd_fn = jax.jit(lambda r, s, c, t: prmod._composite_fwd(
+        cfg, r.shape[1], r, s, c, t))
+    chans, residuals = fwd_fn(records, pairs.tile_starts,
+                              pairs.tile_counts, tile_ids)
+    ms = _timeit(lambda *a: fwd_fn(*a)[0], records, pairs.tile_starts,
+                 pairs.tile_counts, tile_ids)
+    print(f"  REAL fwd     {ms:8.1f} ms", flush=True)
+    gchans = jnp.ones_like(chans) * 0.1
+    orig = prmod._TRI_PASSES
+    try:
+        for passes in (3, 2, 6):
+            prmod._TRI_PASSES = passes
+            bwd_fn = jax.jit(lambda res, g: prmod._composite_bwd(
+                cfg, records.shape[1], res, g)[0])
+            ms = _timeit(bwd_fn, residuals, gchans)
+            print(f"  REAL bwd tri={passes} {ms:6.1f} ms", flush=True)
+    finally:
+        prmod._TRI_PASSES = orig
+
 
 if __name__ == "__main__":
     main()
