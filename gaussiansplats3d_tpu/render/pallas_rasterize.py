@@ -227,11 +227,47 @@ def _tri(strict_upper: bool):
 # order under the parity gate's 1e-3 error-mass bar — and each limb
 # dropped from the in-loop scan is a measured ~6 ms/frame at 2M
 # (kernel_bench: roll-scan 66.9 ms, mxu_scan_2 51.1, mxu_scan_3 63.7).
-# The BACKWARD replay keeps 3 limbs: gradient reconstruction subtracts
-# large intermediates (logt_after - chunk_sum), where the extra 8 bits
-# matter and the backward's extra matmuls hide the cost.
-_TRI_PASSES = 3
+# The BACKWARD replay uses the SAME 2 limbs as the forward: the entry-T
+# reconstruction subtracts per-chunk scan sums from the accumulated
+# log-T residual (logt_after - chunk_sum), and the forward accumulated
+# those sums with the 2-limb scan — re-running the identical 2-limb scan
+# in the replay reproduces them BIT-FOR-BIT, so the subtraction is exact
+# by construction (a higher-precision backward scan would *mismatch* the
+# forward's own rounding).  Only pixels already dead (t < _EXIT_T) see
+# the residual truncation, and their weights/gradients are ~0.
+# (r4 ran the replay at 3 limbs out of caution; the 2-limb hardware
+# parity gate and the r5 kernel ablation both hold at 2.)
+_TRI_PASSES = 2
 _FWD_TRI_PASSES = 2
+
+# Non-scan matmul precision (forward color accumulation, backward moment
+# basis / channel grads / cotangent broadcast): Precision.HIGHEST lowers
+# an f32 matmul to 6 bf16 MXU passes; a 3-pass double-limb product
+# (ah@bh + ah@bl + al@bh, dropping only the al@bl term) reproduces ~16
+# mantissa bits — relative error ~2^-16 ≈ 1.5e-5, two orders under the
+# 5e-3 pallas-vs-XLA gradient gates and the 1e-3 hardware parity bar —
+# at HALF the MXU passes.  6 restores exact HIGHEST (kernel_bench
+# ablation knob).
+_MM_PASSES = 3
+
+
+def _mm_limbs(a, b, dims, passes=None):
+    if passes is None:
+        passes = _MM_PASSES
+    if passes >= 6:
+        return jax.lax.dot_general(a, b, dims,
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def f(x, y):
+        return jax.lax.dot_general(x, y, dims,
+                                   preferred_element_type=jnp.float32)
+
+    return f(ah, bh) + f(ah, bl) + f(al, bh)
 
 
 def _mm_tri(x, strict_upper: bool, passes=None):
@@ -239,7 +275,7 @@ def _mm_tri(x, strict_upper: bool, passes=None):
     if passes is None:
         passes = _TRI_PASSES
     if passes >= 6:
-        return _mm(x, _tri(strict_upper))
+        return _mm(x, _tri(strict_upper), passes=6)
     tri = _tri(strict_upper).astype(jnp.bfloat16)
     acc = None
     rem = x
@@ -253,25 +289,19 @@ def _mm_tri(x, strict_upper: bool, passes=None):
     return acc
 
 
-def _mm(a, b):
-    """[M, K] @ [K, N] -> [M, N] on the MXU in f32."""
-    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+def _mm(a, b, passes=None):
+    """[M, K] @ [K, N] -> [M, N] on the MXU (~f32 via _mm_limbs)."""
+    return _mm_limbs(a, b, (((1,), (0,)), ((), ())), passes)
 
 
-def _mm_nt(a, b):
+def _mm_nt(a, b, passes=None):
     """[M, K] x [N, K] -> [M, N] (contract trailing dims; no relayout)."""
-    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+    return _mm_limbs(a, b, (((1,), (1,)), ((), ())), passes)
 
 
-def _mm_tn(a, b):
+def _mm_tn(a, b, passes=None):
     """[K, M] x [K, N] -> [M, N] (contract leading dims; no relayout)."""
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+    return _mm_limbs(a, b, (((0,), (0,)), ((), ())), passes)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
@@ -354,7 +384,11 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
             # channel rows + a ones row: one [NC+1, C] x [P, C] matmul
             # accumulates colors AND the alpha sum (see composite_tiles)
             rec_aug = jnp.concatenate([rec[5:5 + nc, :], ones_row], axis=0)
-            col = col + _mm_nt(rec_aug, w)            # [NC+1, P]
+            # passes=6 (HIGHEST): the [NC+1, P] output is tiny, so the
+            # MXU passes are cheap and the 3-pass limb split's extra VPU
+            # work LOSES here (measured +2 ms at 2M; the backward's big
+            # [P, C]-output matmuls are where 3-pass wins).
+            col = col + _mm_nt(rec_aug, w, passes=6)  # [NC+1, P]
             csum = excl_log[:, CHUNK - 1:CHUNK] + logw[:, CHUNK - 1:CHUNK]
             t = t * jnp.exp(csum)                     # product (may hit 0)
             # log T accumulated per chunk with the _CS_FLOOR clamp — the

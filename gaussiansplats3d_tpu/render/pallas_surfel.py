@@ -166,7 +166,9 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
             logw = jnp.log1p(-alpha)
             excl_log = _mm_tri(logw, True, _FWD_TRI_PASSES)
             w = alpha * (jnp.exp(excl_log) * t)
-            col = col + _mm_nt(w, rec[11:11 + nc, :])
+            # passes=6: tiny output — see the matching forward note in
+            # pallas_rasterize._composite_fwd
+            col = col + _mm_nt(w, rec[11:11 + nc, :], passes=6)
             csum = excl_log[:, CHUNK - 1:CHUNK] + logw[:, CHUNK - 1:CHUNK]
             t = t * jnp.exp(csum)
             # per-chunk clamped log T accumulation (pallas_rasterize

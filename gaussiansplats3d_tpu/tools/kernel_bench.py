@@ -211,24 +211,31 @@ def main():
     # pair, no surrounding pipeline), at 2/3/6 backward tri-matmul limbs
     from gaussiansplats3d_tpu.render import pallas_rasterize as prmod
 
-    fwd_fn = jax.jit(lambda r, s, c, t: prmod._composite_fwd(
-        cfg, r.shape[1], r, s, c, t))
-    chans, residuals = fwd_fn(records, pairs.tile_starts,
-                              pairs.tile_counts, tile_ids)
-    ms = _timeit(lambda *a: fwd_fn(*a)[0], records, pairs.tile_starts,
-                 pairs.tile_counts, tile_ids)
-    print(f"  REAL fwd     {ms:8.1f} ms", flush=True)
-    gchans = jnp.ones_like(chans) * 0.1
-    orig = prmod._TRI_PASSES
+    orig_tri, orig_mm = prmod._TRI_PASSES, prmod._MM_PASSES
     try:
-        for passes in (3, 2, 6):
-            prmod._TRI_PASSES = passes
-            bwd_fn = jax.jit(lambda res, g: prmod._composite_bwd(
-                cfg, records.shape[1], res, g)[0])
-            ms = _timeit(bwd_fn, residuals, gchans)
-            print(f"  REAL bwd tri={passes} {ms:6.1f} ms", flush=True)
+        residuals = None
+        for mm in (3, 6):
+            prmod._MM_PASSES = mm
+            fwd_fn = jax.jit(lambda r, s, c, t: prmod._composite_fwd(
+                cfg, r.shape[1], r, s, c, t))
+            chans, res = fwd_fn(records, pairs.tile_starts,
+                                pairs.tile_counts, tile_ids)
+            if residuals is None:
+                residuals = res      # mm only changes the color matmul
+                gchans = jnp.ones_like(chans) * 0.1
+            ms = _timeit(lambda *a: fwd_fn(*a)[0], records,
+                         pairs.tile_starts, pairs.tile_counts, tile_ids)
+            print(f"  REAL fwd mm={mm}  {ms:8.1f} ms", flush=True)
+            for tri in (2, 3, 6):
+                prmod._TRI_PASSES = tri
+                bwd_fn = jax.jit(lambda res, g: prmod._composite_bwd(
+                    cfg, records.shape[1], res, g)[0])
+                ms = _timeit(bwd_fn, residuals, gchans)
+                print(f"  REAL bwd mm={mm} tri={tri} {ms:6.1f} ms",
+                      flush=True)
     finally:
-        prmod._TRI_PASSES = orig
+        prmod._TRI_PASSES = orig_tri
+        prmod._MM_PASSES = orig_mm
 
 
 if __name__ == "__main__":
