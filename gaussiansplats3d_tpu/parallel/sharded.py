@@ -42,6 +42,7 @@ conic, and the slab composite is the ray-plane fragment kernel.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -81,25 +82,161 @@ def default_exchange_capacity(cfg: RenderConfig, n_local: int,
     return -(-cap // 128) * 128
 
 
-def _compact_to_capacity(fields, keep: jnp.ndarray, cap: int):
-    """Stable-compact rows where ``keep`` holds into the first ``cap`` slots.
+def exchange_plan(cfg: RenderConfig, surfel: bool):
+    """(field order, n_diff, pack plan, exact-cotangent rows) for the
+    routed exchange, mirroring binning's record_precision plans.
 
-    ``fields`` is a flat list of [n] f32 arrays riding a single stable sort
-    (kept rows first, original order preserved).  Returns (compacted fields
-    [cap] each, valid [cap] bool, n_dropped scalar).
+    Field order (3DGS): [x, y, ca, cb, cc, cr, cg, cb2, op, depth, rx, ry]
+    — the differentiable prefix is 9 fields (10 with cfg.return_depth:
+    depth sits right after it), radii are stop-gradient plumbing.
+    Surfel: [t0..t8, x, y, cr, cg, cb2, op, depth, rx, ry] (15/16 diff).
+
+    The pack plan maps logical fields onto physical int32 wire operands
+    (binning._pack_fields codecs): 'f32' rides everything exact (11 ops;
+    the u16r radius pair is lossless — projection already quantized
+    support radii to 1/16 px), 'mixed' packs color/opacity as f16 pairs
+    (9 ops), 'packed' is the serving codec set (5 ops vs the 13 separate
+    f32 operands the unpacked exchange shipped).  Binning applies the
+    identical (idempotent) codecs after the exchange, so the sharded
+    render still matches the single-chip one bit-for-bit per precision
+    mode.  ``exact_rows``: cotangent rows that ride the backward wire in
+    f32 (the mean2d densification signal — same policy as binning's
+    alignment sort); every other cotangent row rides bf16.
     """
+    if surfel:
+        n_diff = 16 if cfg.return_depth else 15
+        plan = tuple(("raw", i) for i in range(16)) + (("u16r", 16, 17),)
+        return n_diff, plan, (9, 10)
+    n_diff = 10 if cfg.return_depth else 9
+    if cfg.record_precision == "f32":
+        plan = tuple(("raw", i) for i in range(10)) + (("u16r", 10, 11),)
+    elif cfg.record_precision == "mixed":
+        plan = (("raw", 0), ("raw", 1), ("raw", 2), ("raw", 3), ("raw", 4),
+                ("f16", 5, 6), ("f16", 7, 8), ("raw", 9), ("u16r", 10, 11))
+    else:   # "packed"
+        from ..render.binning import _px_scale_for
+        plan = (("px", 0, 1, _px_scale_for(cfg)), ("f16", 2, 3),
+                ("f16u8u8", 4, 10, 11), ("rgba8", 5, 6, 7, 8), ("raw", 9))
+    return n_diff, plan, (0, 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _routed_exchange(plan, ecap: int, n_diff: int, exact_rows,
+                     keep, *fields):
+    """Compact ``keep`` rows to ``ecap`` slots and all_gather them over the
+    splat axis as ONE stacked int32 operand.
+
+    Forward: pack fields per ``plan`` (straight-through quantization, the
+    same codecs binning applies post-exchange), stable-compact (kept rows
+    first, original order — one (key, iota) 2-key unstable sort), stack
+    the physical operands [F, ecap] and issue a single tiled all_gather
+    (rides ICI as one collective instead of one per field; 'packed' mode
+    ships ~2.6x fewer bytes).  The valid mask is rebuilt elementwise from
+    the gathered per-shard keep counts — no mask operand on the wire.
+
+    Backward: the all_gather transposes to psum_scatter — cotangents ride
+    TWO stacked collectives (f32 for ``exact_rows``, bf16 for the rest —
+    same exact-mean2d policy as binning's alignment sort), then return to
+    their source rows via unique sorted scatter-sets (bf16 pairs packed
+    two-per-int32 to halve the scatter count).
+
+    Returns (*gathered_logical_fields, gvalid, dropped).
+    Supersedes the reference's zero-copy SharedArrayBuffer handoff
+    (/root/reference/src/worker/SortWorker.js:180-196) at multi-chip
+    scale.
+    """
+    out, _ = _routed_exchange_fwd(plan, ecap, n_diff, exact_rows,
+                                  keep, *fields)
+    return out
+
+
+def _routed_exchange_fwd(plan, ecap, n_diff, exact_rows, keep, *fields):
+    from ..render.binning import _pack_fields, _unpack_fields
     n = keep.shape[0]
-    key = jnp.where(keep, 0, 1).astype(jnp.int32)
-    sorted_ops = jax.lax.sort((key,) + tuple(fields), dimension=0,
-                              num_keys=1, is_stable=True)
+    pack_plan, phys = _pack_fields(plan, list(fields))
+    key = (~keep).astype(jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    # (key, iota) unique 2-key unstable == stable compaction (iota order
+    # IS input order) minus the hidden tiebreaker pass.
+    sorted_ops = jax.lax.sort((key, iota) + tuple(phys), dimension=0,
+                              num_keys=2, is_stable=False)
     n_keep = jnp.sum(keep.astype(jnp.int32))
-    if cap > n:
-        out = [jnp.pad(op, (0, cap - n)) for op in sorted_ops[1:]]
-    else:
-        out = [op[:cap] for op in sorted_ops[1:]]
-    valid = jnp.arange(cap, dtype=jnp.int32) < n_keep
-    dropped = jnp.maximum(n_keep - cap, 0)
-    return out, valid, dropped
+
+    def to_cap(op):
+        return (jnp.pad(op, (0, ecap - n)) if ecap > n else op[:ecap])
+
+    src = to_cap(sorted_ops[1])                       # [ecap] source rows
+    ops_c = jnp.stack([to_cap(op) for op in sorted_ops[2:]])  # [F, ecap]
+    gathered = jax.lax.all_gather(ops_c, SPLAT_AXIS, axis=1, tiled=True)
+    nk_g = jax.lax.all_gather(n_keep[None], SPLAT_AXIS, axis=0, tiled=True)
+    shards = nk_g.shape[0]
+    gvalid = (jax.lax.broadcasted_iota(jnp.int32, (shards, ecap), 1)
+              < nk_g[:, None]).reshape(-1)
+    gfields = _unpack_fields(pack_plan, list(fields),
+                             [gathered[i] for i in range(len(phys))])
+    dropped = jnp.maximum(n_keep - ecap, 0)
+    out = tuple(gfields) + (gvalid, dropped)
+    return out, (src, n_keep, _SrcN(n))
+
+
+class _SrcN(int):
+    """Static int residual (survives custom_vjp as aux data)."""
+
+
+jax.tree_util.register_pytree_node(
+    _SrcN, lambda x: ((), int(x)), lambda aux, _: _SrcN(aux))
+
+
+def _routed_exchange_bwd(plan, ecap, n_diff, exact_rows, residuals, cots):
+    src, n_keep, n = residuals
+    n = int(n)
+    nf = len(cots) - 2                    # trailing gvalid, dropped
+    g = list(cots[:n_diff])               # cotangents of gathered fields
+    exact = [i for i in exact_rows if i < n_diff]
+    rest = [i for i in range(n_diff) if i not in exact]
+    # Backward wire: f32 for the exact rows, bf16 (f32 exponent range — no
+    # gradient magnitude flushes) for the rest; psum_scatter sums each
+    # device's contribution back onto the owning shard's [ecap] block.
+    ct_f32 = jnp.stack([g[i] for i in exact])                 # [E, S_g]
+    ct_bf16 = jnp.stack([g[i].astype(jnp.bfloat16) for i in rest])
+    my_f32 = jax.lax.psum_scatter(ct_f32, SPLAT_AXIS,
+                                  scatter_dimension=1, tiled=True)
+    my_bf16 = jax.lax.psum_scatter(ct_bf16, SPLAT_AXIS,
+                                   scatter_dimension=1, tiled=True)
+    # Invalid slots (beyond this shard's keep count) scatter nowhere.
+    slot_ok = jnp.arange(ecap, dtype=jnp.int32) < n_keep
+    dst = jnp.where(slot_ok, src, n)      # ascending + unique -> fast path
+
+    d = [None] * nf
+
+    def scatter_f32(row):
+        return jnp.zeros((n,), jnp.float32).at[dst].set(
+            row, mode="drop", unique_indices=True, indices_are_sorted=True)
+
+    for k, i in enumerate(exact):
+        d[i] = scatter_f32(my_f32[k])
+    # bf16 rows: pack PAIRS two-per-int32 (exact — the values are already
+    # bf16) so two fields cost one scatter.
+    for k in range(0, len(rest) - 1, 2):
+        u = (jax.lax.bitcast_convert_type(
+                my_bf16[k], jnp.uint16).astype(jnp.uint32) << 16) | \
+            jax.lax.bitcast_convert_type(
+                my_bf16[k + 1], jnp.uint16).astype(jnp.uint32)
+        full = jnp.zeros((n,), jnp.int32).at[dst].set(
+            u.astype(jnp.int32), mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+        fu = full.astype(jnp.uint32)
+        d[rest[k]] = jax.lax.bitcast_convert_type(
+            (fu >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+        d[rest[k + 1]] = jax.lax.bitcast_convert_type(
+            (fu & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32)
+    if len(rest) % 2:
+        d[rest[-1]] = scatter_f32(my_bf16[-1].astype(jnp.float32))
+    return (None, *d)
+
+
+_routed_exchange.defvjp(_routed_exchange_fwd, _routed_exchange_bwd)
 
 
 def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
@@ -192,31 +329,27 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
             fields = list(proj.t) + [
                 proj.mean2d[:, 0], proj.mean2d[:, 1],
                 proj.color[:, 0], proj.color[:, 1], proj.color[:, 2],
-                proj.opacity,
+                proj.opacity, depth_f,
                 jax.lax.stop_gradient(proj.radius[:, 0]),
-                jax.lax.stop_gradient(proj.radius[:, 1]),
-                depth_f]
+                jax.lax.stop_gradient(proj.radius[:, 1])]
         else:
             fields = [proj.xs, proj.ys,
                       proj.conic_a, proj.conic_b, proj.conic_c,
                       proj.col_r, proj.col_g, proj.col_b,
-                      proj.opacity,
+                      proj.opacity, depth_f,
                       jax.lax.stop_gradient(proj.rx),
-                      jax.lax.stop_gradient(proj.ry),
-                      depth_f]
-        comp, valid_c, dropped = _compact_to_capacity(fields, touch, ecap)
-
-        gathered = [
-            jax.lax.all_gather(f, SPLAT_AXIS, axis=0, tiled=True)
-            for f in comp + [valid_c.astype(jnp.float32)]]
-        gmask = gathered[-1] > 0.5
+                      jax.lax.stop_gradient(proj.ry)]
+        n_diff, plan, exact_rows = exchange_plan(cfg, cfg.render_mode_2d)
+        out_ex = _routed_exchange(plan, ecap, n_diff, exact_rows,
+                                  touch, *fields)
+        gathered, gmask, dropped = out_ex[:-2], out_ex[-2], out_ex[-1]
         tile_lo = t_idx * local_tiles
 
         if cfg.render_mode_2d:
             from ..render.surfel import (
                 SurfelProjection, bin_sort_surfels, composite_surfels_sorted)
             (gt0, gt1, gt2, gt3, gt4, gt5, gt6, gt7, gt8, gx, gy,
-             gcr, gcg, gcb2, gop, grx, gry, gdepth) = gathered[:-1]
+             gcr, gcg, gcb2, gop, gdepth, grx, gry) = gathered
             sp_g = SurfelProjection(
                 t=(gt0, gt1, gt2, gt3, gt4, gt5, gt6, gt7, gt8),
                 mean2d=jnp.stack([gx, gy], axis=1),
@@ -233,8 +366,8 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                 cfg, recs, starts, tcounts, tile_lo, local_tiles)
             chans = chans_from_colors_logt(tile_colors, tile_logtrans)
         else:
-            (gx, gy, gca, gcb, gcc, gcr, gcg, gcb2, gop, grx, gry,
-             gdepth) = gathered[:-1]
+            (gx, gy, gca, gcb, gcc, gcr, gcg, gcb2, gop, gdepth,
+             grx, gry) = gathered
             proj_g = ProjectedSplats(
                 xs=gx, ys=gy,
                 conic_a=gca, conic_b=gcb, conic_c=gcc,
@@ -283,9 +416,21 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
     chans, overflow, slab_pairs = fn(
         splats, camera, scene_indices, scene_args)
     if return_stats:
+        n_diff_s, plan_s, exact_s = exchange_plan(cfg, cfg.render_mode_2d)
+        nb_rest = len(
+            [i for i in range(n_diff_s) if i not in exact_s])
         stats = {"overflow": overflow, "slab_pairs": slab_pairs,
                  "exchange_capacity": ecap,
-                 "gathered_records": splat_shards * ecap}
+                 "gathered_records": splat_shards * ecap,
+                 # forward wire: ONE stacked int32 all_gather of
+                 # len(plan) rows; backward: two psum_scatters (f32
+                 # exact rows + bf16 rest)
+                 "exchange_wire_ops": len(plan_s),
+                 "exchange_fwd_mb_per_device":
+                     splat_shards * ecap * 4 * len(plan_s) / 1e6,
+                 "exchange_bwd_mb_per_device":
+                     splat_shards * ecap
+                     * (4 * len(exact_s) + 2 * nb_rest) / 1e6}
         return chans, stats
     if return_overflow:
         return chans, overflow

@@ -92,7 +92,6 @@ def run_shape(splats, cfg, splat_shards, tile_shards, iters):
     gathered = splat_shards * ecap
     lanes, aux, pad = slot_layout_for(cfg, gathered)
     sort_slots = lanes * gathered + aux + pad
-    n_fields = 13  # 12 record fields + validity lane in the exchange
     _, stats = sharded_render_tiles(
         mesh, sharded, camera, cfg, return_stats=True)
     slab_pairs = np.asarray(stats["slab_pairs"]).tolist()
@@ -102,13 +101,59 @@ def run_shape(splats, cfg, splat_shards, tile_shards, iters):
         "ms_per_step": round(ms, 1),
         "msplats_per_s": round(n / ms / 1e3, 2),
         "exchange_records_per_device": int(ecap),
+        # ONE stacked int32 all_gather of exchange_wire_ops rows (the
+        # record_precision pack plan) — not one collective per field
+        "exchange_wire_ops": int(stats["exchange_wire_ops"]),
         "exchange_mb_per_device": round(
-            gathered * n_fields * 4 / 1e6, 2),
+            stats["exchange_fwd_mb_per_device"], 2),
+        "exchange_bwd_mb_per_device": round(
+            stats["exchange_bwd_mb_per_device"], 2),
         "gathered_records_per_device": int(gathered),
         "sort_slots_per_device": int(sort_slots),
         "slab_pairs": slab_pairs,
         "overflow": int(np.asarray(stats["overflow"])),
     }
+
+
+def predict_efficiency(results, n, t_proj_1, t_rest_1, gbps):
+    """Analytic multi-host efficiency prediction (BASELINE metric 3 made
+    falsifiable before pod hardware exists).
+
+    Model, per (splat_shards s, tile_shards t) mesh of D = s*t devices:
+
+        T_pred = t_proj_1 / s                      # splat-parallel stages
+               + t_rest_1 / t                      # slab sort + composite
+               + T_comm                            # collectives at `gbps`
+
+        T_comm = (s-1)/s * (fwd_mb + bwd_mb) / gbps    # routed exchange:
+                 # all_gather receives (s-1)/s of the stacked wire bytes;
+                 # its transpose psum_scatter moves the same again
+               + (t-1)/t * (12 * 4 * n/s / 1e6) / gbps # parameter-grad
+                 # psum over the tile axis (12 f32 fields per local splat)
+
+    t_proj_1 / t_rest_1 are the measured single-chip stage times (ms) for
+    THIS scene (from the device trace; see PROFILE_r05.md) — the same
+    numbers the roofline uses.  ``gbps`` is the effective per-device
+    collective bandwidth (1 GB/s == 1 MB/ms): ~80-90 for v5p ICI within a
+    slice, ~6 for 50 Gbit DCN across hosts.  Efficiency is throughput per
+    device vs the single-chip baseline:
+
+        eff(s, t) = (t_proj_1 + t_rest_1) / (D * T_pred)
+    """
+    t1 = t_proj_1 + t_rest_1
+    for r in results:
+        s, t = (int(x) for x in r["mesh"].split("x"))
+        d = s * t
+        out = {}
+        for name, bw in gbps.items():
+            comm = ((s - 1) / s * (r["exchange_mb_per_device"]
+                                   + r["exchange_bwd_mb_per_device"]) / bw
+                    + (t - 1) / t * (12 * 4 * (n / s) / 1e6) / bw)
+            t_pred = t_proj_1 / s + t_rest_1 / t + comm
+            out[f"predicted_ms_{name}"] = round(t_pred, 2)
+            out[f"predicted_eff_{name}"] = round(t1 / (d * t_pred), 3)
+        r.update(out)
+    return results
 
 
 def _camera(cfg):
@@ -129,6 +174,15 @@ def main():
     ap.add_argument("--sh", type=int, default=1)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--assert-volumes", action="store_true")
+    ap.add_argument("--chip-ms-proj", type=float, default=None,
+                    help="measured single-chip projection fwd+bwd ms for "
+                         "this scene (enables predicted-efficiency columns)")
+    ap.add_argument("--chip-ms-rest", type=float, default=None,
+                    help="measured single-chip sort+composite+assemble "
+                         "fwd+bwd ms for this scene")
+    ap.add_argument("--gbps", default="ici:80,dcn:6.25",
+                    help="effective per-device collective bandwidths "
+                         "(GB/s) to predict at, name:value pairs")
     args = ap.parse_args()
     n = int(args.n)
 
@@ -171,8 +225,22 @@ def main():
         speedup = r["msplats_per_s"] / max(base["msplats_per_s"], 1e-9)
         r["efficiency_vs_base"] = round(
             speedup * base["devices"] / r["devices"], 3)
+    model = None
+    if args.chip_ms_proj is not None and args.chip_ms_rest is not None:
+        gbps = {tok.split(":")[0]: float(tok.split(":")[1])
+                for tok in args.gbps.split(",")}
+        results = predict_efficiency(results, n, args.chip_ms_proj,
+                                     args.chip_ms_rest, gbps)
+        model = {"chip_ms_proj": args.chip_ms_proj,
+                 "chip_ms_rest": args.chip_ms_rest, "gbps": gbps,
+                 "formula": "see scaling_bench.predict_efficiency"}
+        for r in results:
+            pred = {k: v for k, v in r.items()
+                    if k.startswith("predicted_")}
+            print(f"  {r['mesh']:>5s}  {pred}", flush=True)
     print(json.dumps({"metric": "scaling_bench", "n": n,
-                      "platform": platform, "results": results}), flush=True)
+                      "platform": platform, "model": model,
+                      "results": results}), flush=True)
 
     if args.assert_volumes:
         # O(alpha * N / tile_shards) contract: per-device exchange/sort

@@ -126,6 +126,57 @@ def test_fit_psnr_gate():
     assert p >= 25.0, f"fit PSNR {p:.2f} dB < 25 dB"
 
 
+def test_fit_psnr_gate_packed_records():
+    """'train-packed' mode: record_precision='packed' with gradients ON
+    (forward_only=False) rides the serving sort plan — 4 physical record
+    operands (px positions, f16 conic, u8 color/opacity, u8-log box)
+    instead of mixed's 8 — while every cotangent stays straight-through
+    f32 (mean2d exact: the densification signal).  The quantized forward
+    must not break trainability: same recovery gate as the mixed-mode
+    fit test."""
+    import optax
+
+    key = jax.random.PRNGKey(5)
+    truth = gs.random_splats(key, 300, sh_degree=0)
+    cfg = gs.RenderConfig(width=64, height=64, sort_bits=14,
+                          record_precision="packed")
+    cams = [gs.Camera.look_at(eye, (0, 0, 0), fov_y_deg=60.0)
+            for eye in ((2.0, 1.0, 2.0), (-2.0, 1.2, 1.8),
+                        (0.5, 2.4, -1.8))]
+    render = jax.jit(lambda s, c: gs.render(s, c, cfg)["color"])
+    targets = [render(truth, c) for c in cams]
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(6))
+    init = dataclasses.replace(
+        truth,
+        means=truth.means + 0.03 * jax.random.normal(
+            k1, truth.means.shape),
+        colors=jnp.clip(truth.colors + 0.15 * jax.random.normal(
+            k2, truth.colors.shape), 0.01, 1.0))
+    params = SplatParams.from_splats(init)
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    cam_batch = stack_cameras(cams)
+    target_batch = jnp.stack(targets)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss(p):
+            out = render_batch(p.to_splats(), cam_batch, cfg)["color"]
+            return jnp.mean((out - target_batch) ** 2)
+        l, g = jax.value_and_grad(loss)(params)
+        updates, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    from gaussiansplats3d_tpu.utils.image_metrics import psnr
+    for _ in range(150):
+        params, opt_state, l = step(params, opt_state)
+    final = render_batch(params.to_splats(), cam_batch, cfg)["color"]
+    p = float(psnr(final, target_batch))
+    assert p >= 25.0, f"packed-record fit PSNR {p:.2f} dB < 25 dB"
+
+
 def test_render_batch_multi_view():
     splats = gs.random_splats(jax.random.PRNGKey(3), 200, sh_degree=0)
     cfg = gs.RenderConfig(width=48, height=48)
