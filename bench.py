@@ -106,10 +106,9 @@ def demo_16m():
         "overflow": int(out["overflow"])}))
 
 
-def main():
-    cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=SH_DEGREE,
-                          sort_bits=16)
-    splats = _make_scene(N, SH_DEGREE)
+def _grad_step_msplats(n, cfg, iters=3):
+    """Full fwd+bwd step (gradients w.r.t. every attribute) throughput."""
+    splats = _make_scene(n, cfg.sh_degree)
     camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
                                fov_y_deg=60.0, aspect=WIDTH / HEIGHT)
 
@@ -118,20 +117,30 @@ def main():
         return jnp.mean(img * img)
 
     step = jax.jit(jax.grad(loss_fn))
-
     g = step(splats)                       # compile + warmup
     jax.block_until_ready(g.means)
     _sync(g.means)
-
-    iters = 3
     t0 = time.perf_counter()
     for _ in range(iters):
         g = step(splats)
     jax.block_until_ready(g.means)
     _sync(g.means)
     dt = (time.perf_counter() - t0) / iters
+    return n / dt / 1e6
 
-    msplats_per_s = N / dt / 1e6
+
+def main():
+    cfg = gs.RenderConfig(width=WIDTH, height=HEIGHT, sh_degree=SH_DEGREE,
+                          sort_bits=16)
+    msplats_per_s = _grad_step_msplats(N, cfg)
+    # 'train-packed': the serving record codecs (positions 1/16 px, conic
+    # f16, color+opacity u8) with gradients ON — cotangents stay
+    # straight-through f32 (mean2d exact: the densification signal); the
+    # fused pair sort rides 4 physical operands instead of mixed's 8.
+    cfg_tp = cfg.replace(record_precision="packed")
+    tp_2m = _grad_step_msplats(N, cfg_tp)
+    # the BASELINE bar's scale: fwd+bwd at 8M splats @1080p
+    tp_8m = _grad_step_msplats(8_000_000, cfg_tp)
     print(json.dumps({
         "metric": "fwd+bwd Msplats/s/chip @1080p "
                   f"(N={N}, SH{SH_DEGREE})",
@@ -139,6 +148,8 @@ def main():
         "unit": "Msplats/s",
         "vs_baseline": round(
             msplats_per_s / REFERENCE_CPU_SORT_MSPLATS_PER_S, 3),
+        "train_packed_msplats": round(tp_2m, 2),
+        "fwd_bwd_8m_train_packed_msplats": round(tp_8m, 2),
         "frames_per_s_8m": round(frames_per_s_8m(), 2),
     }))
 

@@ -239,6 +239,141 @@ def _routed_exchange_bwd(plan, ecap, n_diff, exact_rows, residuals, cots):
 _routed_exchange.defvjp(_routed_exchange_fwd, _routed_exchange_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _routed_exchange_a2a(plan, ecap: int, n_diff: int, exact_rows,
+                         t_shards: int, touch_all, *fields):
+    """all_to_all routed exchange: splats sharded over the FULL mesh.
+
+    The all_gather exchange (:func:`_routed_exchange`) replicates
+    projection across the tile axis (every tile shard projects the same
+    N/splat_shards splats), capping balanced-mesh scaling efficiency near
+    50% (see scaling_bench.predict_efficiency).  Here each device
+    projects only N/(s*t) splats; records route to their tile-slab
+    owners in two hops that both ride ICI:
+
+      1. per-slab compaction: for each of the t slabs, compact the local
+         records touching it into a fixed [ecap] block (t small static
+         (key, iota) 2-key sorts over N/D rows — the same total row count
+         as the gather path's single compaction over N/s);
+      2. all_to_all over the TILE axis swaps blocks so device (i, j)
+         holds the slab-j blocks built by every (i, j');
+      3. all_gather over the SPLAT axis pools the s splat-rows.
+
+    Per-device receive volume is unchanged (~alpha*N/t of packed wire
+    rows); what changes is COMPUTE: projection work drops t-fold.  The
+    backward retraces each hop with its transpose (psum_scatter,
+    all_to_all, per-slab unique scatter-sets summed over slabs — a
+    record straddling slabs accumulates cotangents from each).
+
+    ``touch_all``: [t, n] bool — per slab, which local records touch it.
+    Returns (*gathered_fields, gvalid, dropped), gathered length
+    s * t * ecap.
+    """
+    out, _ = _routed_exchange_a2a_fwd(plan, ecap, n_diff, exact_rows,
+                                      t_shards, touch_all, *fields)
+    return out
+
+
+def _routed_exchange_a2a_fwd(plan, ecap, n_diff, exact_rows, t_shards,
+                             touch_all, *fields):
+    from ..render.binning import _pack_fields, _unpack_fields
+    n = touch_all.shape[1]
+    pack_plan, phys = _pack_fields(plan, list(fields))
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def to_cap(op):
+        return (jnp.pad(op, (0, ecap - n)) if ecap > n else op[:ecap])
+
+    blocks, srcs, n_keeps = [], [], []
+    for j in range(t_shards):
+        keep = touch_all[j]
+        key = (~keep).astype(jnp.int32)
+        sorted_ops = jax.lax.sort((key, iota) + tuple(phys), dimension=0,
+                                  num_keys=2, is_stable=False)
+        srcs.append(to_cap(sorted_ops[1]))
+        blocks.append(jnp.stack([to_cap(op) for op in sorted_ops[2:]]))
+        n_keeps.append(jnp.sum(keep.astype(jnp.int32)))
+    ops_a = jnp.stack(blocks)                       # [t, F, ecap]
+    nk = jnp.stack(n_keeps)                         # [t]
+
+    recv = jax.lax.all_to_all(ops_a, TILE_AXIS, split_axis=0,
+                              concat_axis=0)        # [t, F, ecap]
+    nk_r = jax.lax.all_to_all(nk, TILE_AXIS, split_axis=0, concat_axis=0)
+    g = jax.lax.all_gather(recv, SPLAT_AXIS, axis=0,
+                           tiled=True)              # [s*t, F, ecap]
+    nk_g = jax.lax.all_gather(nk_r, SPLAT_AXIS, axis=0, tiled=True)
+    st = g.shape[0]
+    flat = jnp.moveaxis(g, 1, 0).reshape(len(phys), st * ecap)
+    gvalid = (jax.lax.broadcasted_iota(jnp.int32, (st, ecap), 1)
+              < nk_g[:, None]).reshape(-1)
+    gfields = _unpack_fields(pack_plan, list(fields),
+                             [flat[i] for i in range(len(phys))])
+    dropped = jnp.sum(jnp.maximum(nk - ecap, 0))
+    out = tuple(gfields) + (gvalid, dropped)
+    return out, (jnp.stack(srcs), nk, _SrcN(n))
+
+
+def _routed_exchange_a2a_bwd(plan, ecap, n_diff, exact_rows, t_shards,
+                             residuals, cots):
+    srcs, nk, n = residuals
+    n = int(n)
+    nf = len(cots) - 2
+    g = list(cots[:n_diff])
+    exact = [i for i in exact_rows if i < n_diff]
+    rest = [i for i in range(n_diff) if i not in exact]
+    ct_f32 = jnp.stack([g[i] for i in exact])                  # [E, S_g]
+    ct_bf16 = jnp.stack([g[i].astype(jnp.bfloat16) for i in rest])
+    my_f32 = jax.lax.psum_scatter(ct_f32, SPLAT_AXIS,
+                                  scatter_dimension=1, tiled=True)
+    my_bf16 = jax.lax.psum_scatter(ct_bf16, SPLAT_AXIS,
+                                   scatter_dimension=1, tiled=True)
+    # my splat-row's slice is [·, t*ecap] in slab-source-major order;
+    # all_to_all (its own transpose) returns each slab block to the
+    # device that built it.
+    my_f32 = jax.lax.all_to_all(
+        my_f32.reshape(-1, t_shards, ecap), TILE_AXIS,
+        split_axis=1, concat_axis=1)               # [E, t, ecap]
+    my_bf16 = jax.lax.all_to_all(
+        my_bf16.reshape(-1, t_shards, ecap), TILE_AXIS,
+        split_axis=1, concat_axis=1)
+
+    d = [None] * nf
+    for i in range(n_diff):
+        d[i] = jnp.zeros((n,), jnp.float32)
+    iota_e = jnp.arange(ecap, dtype=jnp.int32)
+    for j in range(t_shards):
+        dst = jnp.where(iota_e < nk[j], srcs[j], n)
+        for k, i in enumerate(exact):
+            d[i] = d[i] + jnp.zeros((n,), jnp.float32).at[dst].set(
+                my_f32[k, j], mode="drop", unique_indices=True,
+                indices_are_sorted=True)
+        for k in range(0, len(rest) - 1, 2):
+            u = (jax.lax.bitcast_convert_type(
+                    my_bf16[k, j], jnp.uint16).astype(jnp.uint32) << 16) | \
+                jax.lax.bitcast_convert_type(
+                    my_bf16[k + 1, j], jnp.uint16).astype(jnp.uint32)
+            full = jnp.zeros((n,), jnp.int32).at[dst].set(
+                u.astype(jnp.int32), mode="drop", unique_indices=True,
+                indices_are_sorted=True)
+            fu = full.astype(jnp.uint32)
+            d[rest[k]] = d[rest[k]] + jax.lax.bitcast_convert_type(
+                (fu >> 16).astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+            d[rest[k + 1]] = d[rest[k + 1]] + jax.lax.bitcast_convert_type(
+                (fu & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+        if len(rest) % 2:
+            d[rest[-1]] = d[rest[-1]] + jnp.zeros(
+                (n,), jnp.float32).at[dst].set(
+                my_bf16[-1, j].astype(jnp.float32), mode="drop",
+                unique_indices=True, indices_are_sorted=True)
+    return (None, *d)
+
+
+_routed_exchange_a2a.defvjp(_routed_exchange_a2a_fwd,
+                            _routed_exchange_a2a_bwd)
+
+
 def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                          cfg: RenderConfig,
                          capacity: Optional[int] = None,
@@ -248,8 +383,17 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                          scene_visibility: Optional[jnp.ndarray] = None,
                          exchange_capacity: Optional[int] = None,
                          return_overflow: bool = False,
-                         return_stats: bool = False):
+                         return_stats: bool = False,
+                         route: str = "gather"):
     """Render to tile blocks over the mesh.
+
+    ``route``: 'gather' (default) shards splats over the splat axis only
+    and all_gathers slab records within each tile row — projection is
+    replicated across the tile axis.  'a2a' shards splats over the FULL
+    mesh and routes records with an all_to_all hop first
+    (:func:`_routed_exchange_a2a`) — projection work drops tile_shards-
+    fold, the receive volume is unchanged; place splats with
+    ``device_put_sharded_splats(..., route='a2a')``.
 
     Args:
       splats: global splat pytree; leading axis must divide by the splat-axis
@@ -267,11 +411,16 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
     scalar (exchange drops + pair-list drops) when ``return_overflow``.
     """
     del capacity  # superseded by the fused expand+sort slot layout
+    if route not in ("gather", "a2a"):
+        raise ValueError(f"route must be 'gather' or 'a2a', got {route!r}")
     tile_shards = mesh.shape[TILE_AXIS]
     splat_shards = mesh.shape[SPLAT_AXIS]
     rows = _tile_rows_per_shard(cfg, tile_shards)
     local_tiles = rows * cfg.tiles_x
-    n_local = -(-splats.num_splats // splat_shards)
+    if route == "a2a":
+        n_local = -(-splats.num_splats // (splat_shards * tile_shards))
+    else:
+        n_local = -(-splats.num_splats // splat_shards)
     if exchange_capacity is None:
         exchange_capacity = default_exchange_capacity(
             cfg, n_local, tile_shards)
@@ -293,10 +442,13 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
         # plumbing (pmin/pmax have no AD rule, and shouldn't need one here).
         big = jnp.float32(3.0e38)
         depth_ng = jax.lax.stop_gradient(proj.depth)
+        # 'a2a' shards splats over BOTH axes -> global bounds need both.
+        d_axes = ((SPLAT_AXIS, TILE_AXIS) if route == "a2a"
+                  else SPLAT_AXIS)
         dmin = jax.lax.pmin(
-            jnp.min(jnp.where(proj.mask, depth_ng, big)), SPLAT_AXIS)
+            jnp.min(jnp.where(proj.mask, depth_ng, big)), d_axes)
         dmax = jax.lax.pmax(
-            jnp.max(jnp.where(proj.mask, depth_ng, -big)), SPLAT_AXIS)
+            jnp.max(jnp.where(proj.mask, depth_ng, -big)), d_axes)
 
         # --- splat -> tile-slab routing -------------------------------
         t_idx = jax.lax.axis_index(TILE_AXIS)
@@ -317,6 +469,10 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
         ty0 = jnp.floor((y - ry) / ts).astype(jnp.int32)
         ty1 = jnp.floor((y + ry) / ts).astype(jnp.int32)
         touch = proj.mask & (ty1 >= ty_lo) & (ty0 < ty_hi)
+        if route == "a2a":
+            touch_all = jnp.stack([
+                proj.mask & (ty1 >= j * rows) & (ty0 < (j + 1) * rows)
+                for j in range(tile_shards)])
 
         # depth is normally gradient-free plumbing (sort key only), but with
         # cfg.return_depth it also feeds the depth CHANNEL, which must stay
@@ -340,8 +496,12 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                       jax.lax.stop_gradient(proj.rx),
                       jax.lax.stop_gradient(proj.ry)]
         n_diff, plan, exact_rows = exchange_plan(cfg, cfg.render_mode_2d)
-        out_ex = _routed_exchange(plan, ecap, n_diff, exact_rows,
-                                  touch, *fields)
+        if route == "a2a":
+            out_ex = _routed_exchange_a2a(plan, ecap, n_diff, exact_rows,
+                                          tile_shards, touch_all, *fields)
+        else:
+            out_ex = _routed_exchange(plan, ecap, n_diff, exact_rows,
+                                      touch, *fields)
         gathered, gmask, dropped = out_ex[:-2], out_ex[-2], out_ex[-1]
         tile_lo = t_idx * local_tiles
 
@@ -400,7 +560,8 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                                         axis=0, tiled=True)
         return chans, overflow, slab_pairs
 
-    splat_spec = jax.tree.map(lambda _: P(SPLAT_AXIS), splats)
+    sp_axes = (SPLAT_AXIS, TILE_AXIS) if route == "a2a" else SPLAT_AXIS
+    splat_spec = jax.tree.map(lambda _: P(sp_axes), splats)
     cam_spec = jax.tree.map(lambda _: P(), camera)
     if scene_indices is None:
         scene_indices = jnp.zeros((splats.num_splats,), jnp.int32)
@@ -410,7 +571,7 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
     # chans is [T, NC+1, P]: the tile axis is dim 0
     out_spec = (P(TILE_AXIS), P(), P())
     fn = shard_map(body, mesh=mesh,
-                   in_specs=(splat_spec, cam_spec, P(SPLAT_AXIS),
+                   in_specs=(splat_spec, cam_spec, P(sp_axes),
                              scene_args_spec),
                    out_specs=out_spec, check_vma=False)
     chans, overflow, slab_pairs = fn(
@@ -419,17 +580,20 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
         n_diff_s, plan_s, exact_s = exchange_plan(cfg, cfg.render_mode_2d)
         nb_rest = len(
             [i for i in range(n_diff_s) if i not in exact_s])
+        gathered_recs = (splat_shards * tile_shards * ecap
+                         if route == "a2a" else splat_shards * ecap)
         stats = {"overflow": overflow, "slab_pairs": slab_pairs,
                  "exchange_capacity": ecap,
-                 "gathered_records": splat_shards * ecap,
+                 "gathered_records": gathered_recs,
                  # forward wire: ONE stacked int32 all_gather of
-                 # len(plan) rows; backward: two psum_scatters (f32
-                 # exact rows + bf16 rest)
+                 # len(plan) rows (route='a2a' adds an all_to_all hop of
+                 # ~1/splat_shards of the same volume); backward: two
+                 # psum_scatters (f32 exact rows + bf16 rest)
                  "exchange_wire_ops": len(plan_s),
                  "exchange_fwd_mb_per_device":
-                     splat_shards * ecap * 4 * len(plan_s) / 1e6,
+                     gathered_recs * 4 * len(plan_s) / 1e6,
                  "exchange_bwd_mb_per_device":
-                     splat_shards * ecap
+                     gathered_recs
                      * (4 * len(exact_s) + 2 * nb_rest) / 1e6}
         return chans, stats
     if return_overflow:
@@ -444,23 +608,29 @@ def sharded_render(mesh: Mesh, splats: SplatData, camera: Camera,
                    scene_indices: Optional[jnp.ndarray] = None,
                    scene_opacities: Optional[jnp.ndarray] = None,
                    scene_visibility: Optional[jnp.ndarray] = None,
-                   exchange_capacity: Optional[int] = None):
+                   exchange_capacity: Optional[int] = None,
+                   route: str = "gather"):
     """Full sharded render returning the assembled image dict (with the
     exchange + pair-list ``overflow`` counter)."""
     chans, overflow = sharded_render_tiles(
         mesh, splats, camera, cfg, capacity,
         transforms=transforms, scene_indices=scene_indices,
         scene_opacities=scene_opacities, scene_visibility=scene_visibility,
-        exchange_capacity=exchange_capacity, return_overflow=True)
+        exchange_capacity=exchange_capacity, return_overflow=True,
+        route=route)
     out = assemble_image(chans, cfg)
     out["overflow"] = overflow
     return out
 
 
-def pad_splats_for_mesh(splats: SplatData, mesh: Mesh) -> SplatData:
-    """Pad the splat axis to a multiple of the splat-shard count with
-    fully-transparent splats (opacity 0 => culled everywhere)."""
+def pad_splats_for_mesh(splats: SplatData, mesh: Mesh,
+                        route: str = "gather") -> SplatData:
+    """Pad the splat axis to a multiple of the splat-shard count (the
+    full device count for route='a2a') with fully-transparent splats
+    (opacity 0 => culled everywhere)."""
     ds = mesh.shape[SPLAT_AXIS]
+    if route == "a2a":
+        ds *= mesh.shape[TILE_AXIS]
     n = splats.num_splats
     pad = (-n) % ds
     if pad == 0:
@@ -480,9 +650,12 @@ def pad_splats_for_mesh(splats: SplatData, mesh: Mesh) -> SplatData:
         quats=padded.quats.at[n:, 3].set(1.0))
 
 
-def device_put_sharded_splats(splats: SplatData, mesh: Mesh) -> SplatData:
-    """Place splats on the mesh: sharded over the splat axis, replicated
-    over the tile axis."""
-    splats = pad_splats_for_mesh(splats, mesh)
-    sharding = NamedSharding(mesh, P(SPLAT_AXIS))
+def device_put_sharded_splats(splats: SplatData, mesh: Mesh,
+                              route: str = "gather") -> SplatData:
+    """Place splats on the mesh: sharded over the splat axis and
+    replicated over the tile axis ('gather'), or sharded over the full
+    mesh ('a2a')."""
+    splats = pad_splats_for_mesh(splats, mesh, route)
+    axes = (SPLAT_AXIS, TILE_AXIS) if route == "a2a" else SPLAT_AXIS
+    sharding = NamedSharding(mesh, P(axes))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), splats)

@@ -100,7 +100,8 @@ def image_to_tile_blocks(img: jnp.ndarray, cfg: RenderConfig):
 
 def make_train_step(cfg: RenderConfig, mesh, optimizer,
                     capacity: Optional[int] = None,
-                    exchange_capacity: Optional[int] = None):
+                    exchange_capacity: Optional[int] = None,
+                    route: str = "gather"):
     """Build a jitted sharded train step.
 
     Returns ``step(state, camera, target_tiles, tile_mask) ->
@@ -118,7 +119,7 @@ def make_train_step(cfg: RenderConfig, mesh, optimizer,
         # [T, P, C] targets fuses into the elementwise error.
         chans = sharded_render_tiles(
             mesh, splats, camera, cfg,
-            exchange_capacity=exchange_capacity)
+            exchange_capacity=exchange_capacity, route=route)
         bg = jnp.asarray(cfg.background, jnp.float32)
         trans = 1.0 - chans[:, -1]
         rendered = chans[:, :3] + trans[:, None] * bg[None, :, None]

@@ -240,6 +240,16 @@ def _tri(strict_upper: bool):
 _TRI_PASSES = 2
 _FWD_TRI_PASSES = 2
 
+# Record-DMA pipeline depth (both kernels).  Each chunk read is a [16, C]
+# strided copy — 8 KB in 16 rows, ~1.2 us apiece (kernel_bench dma_only:
+# 26k chunk reads = 31.7 ms = 6.8 GB/s against >800 GB/s of HBM).
+# Measured on hardware (r5 job 05, 2M/tile32): depth 2/4/6 are IDENTICAL
+# (fwd 35.6/35.7/35.8, bwd 51.2/51.3/51.9 ms) — the 2-slot issue-ahead
+# already hides everything the DMA engine can overlap, so the extra
+# in-flight reads buy nothing.  Keep the knob at 2 (lowest VMEM); the
+# pipeline code is depth-generic if a future workload disagrees.
+_DMA_DEPTH = 2
+
 # Non-scan matmul precision (forward color accumulation, backward moment
 # basis / channel grads / cotangent broadcast): Precision.HIGHEST lowers
 # an f32 matmul to 6 bf16 MXU passes; a 3-pass double-limb product
@@ -354,25 +364,29 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
         num_chunks = pl.cdiv(start % CHUNK + count, CHUNK)
 
         def dma_for(k):
-            slot = jax.lax.rem(k, 2)
+            slot = jax.lax.rem(k, _DMA_DEPTH)
             return pltpu.make_async_copy(
                 rec_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
                 chunk_vmem.at[slot], sem.at[slot])
 
-        @pl.when(num_chunks > 0)
-        def _():
-            dma_for(jnp.int32(0)).start()
+        # Prime the pipeline: issue reads for chunks 0.._DMA_DEPTH-2 so
+        # _DMA_DEPTH-1 chunk DMAs stay in flight throughout (see
+        # _DMA_DEPTH — the read is latency-bound, not bandwidth-bound).
+        for j in range(_DMA_DEPTH - 1):
+            @pl.when(j < num_chunks)
+            def _(j=j):
+                dma_for(jnp.int32(j)).start()
 
         ones_row = jnp.ones((1, CHUNK), jnp.float32)
 
         def body(state):
             k, col, t, lt = state
-            # Prefetch next chunk into the other slot, then consume this one.
-            @pl.when(k + 1 < num_chunks)
+            # Issue the deepest prefetch, then consume this chunk.
+            @pl.when(k + _DMA_DEPTH - 1 < num_chunks)
             def _():
-                dma_for(k + 1).start()
+                dma_for(k + _DMA_DEPTH - 1).start()
             dma_for(k).wait()
-            rec = chunk_vmem[jax.lax.rem(k, 2)]
+            rec = chunk_vmem[jax.lax.rem(k, _DMA_DEPTH)]
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
             alpha, _, _, _ = _chunk_alpha_block(rec, px, py, window,
                                                 cfg.min_alpha, nc)
@@ -405,11 +419,13 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
             (jnp.int32(0), jnp.zeros((nc + 1, p), jnp.float32),
              jnp.ones((p, 1), jnp.float32),
              jnp.zeros((p, 1), jnp.float32)))
-        # Drain the prefetch issued for the chunk after the exit point so
-        # the semaphore is clean for the next grid step.
-        @pl.when(k_end < num_chunks)
-        def _():
-            dma_for(k_end).wait()
+        # Drain the prefetches issued beyond the exit point (chunks
+        # k_end .. k_end+_DMA_DEPTH-2 may be in flight) so every
+        # semaphore is clean for the next grid step.
+        for j in range(_DMA_DEPTH - 1):
+            @pl.when(k_end + j < num_chunks)
+            def _(j=j):
+                dma_for(k_end + j).wait()
         chans_out[0] = col
         logt_out[0] = lt      # finite by construction (>= _CS_FLOOR/chunk)
         exit_k_out[i] = k_end
@@ -426,8 +442,8 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_DMA_DEPTH, RECORD_WIDTH, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((_DMA_DEPTH,)),
         ],
     )
 
@@ -488,7 +504,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         oy = ty * float(ts)
 
         def dma_for(k):
-            slot = jax.lax.rem(k, 2)
+            slot = jax.lax.rem(k, _DMA_DEPTH)
             return pltpu.make_async_copy(
                 rec_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
                 chunk_vmem.at[slot], sem.at[slot])
@@ -518,9 +534,14 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         # Replay starts at the forward's exit chunk: chunks beyond it never
         # ran forward, contribute zero gradient (the buffer is zero-init)
         # and must not perturb the transmittance replay — skip them.
+        # Prime a _DMA_DEPTH-deep descending record-read pipeline (see
+        # _DMA_DEPTH); the 2-slot gradient RMW pipeline is unchanged.
         @pl.when(k_exit > 0)
         def _():
-            dma_for(k_exit - 1).start()
+            for j in range(_DMA_DEPTH - 1):
+                @pl.when(k_exit - 1 - j >= 0)
+                def _(j=j):
+                    dma_for(k_exit - 1 - j).start()
             @pl.when(is_boundary(k_exit - 1))
             def _():
                 grad_read_for(k_exit - 1).start()
@@ -529,9 +550,11 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
             k, logt_after, sg = state
             k = k - 1
             active = jnp.float32(1.0)
+            @pl.when(k - (_DMA_DEPTH - 1) >= 0)
+            def _():
+                dma_for(k - (_DMA_DEPTH - 1)).start()
             @pl.when(k > 0)
             def _():
-                dma_for(k - 1).start()
                 # before chunk k-1's computation reuses gout slot
                 # (k-1)%2 = (k+1)%2, chunk k+1's outbound write from that
                 # slot must have drained
@@ -542,7 +565,7 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
                 def _():
                     grad_read_for(k - 1).start()
             dma_for(k).wait()
-            rec = chunk_vmem[jax.lax.rem(k, 2)]
+            rec = chunk_vmem[jax.lax.rem(k, _DMA_DEPTH)]
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
             alpha, _, _, _ = _chunk_alpha_block(rec, px, py, window,
                                                 cfg.min_alpha, nc)
@@ -662,10 +685,10 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((_DMA_DEPTH, RECORD_WIDTH, CHUNK), jnp.float32),
             pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
             pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
-            pltpu.VMEM((2, RECORD_WIDTH, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_DMA_DEPTH,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -44,6 +44,7 @@ from ..core.types import RenderConfig
 from .pallas_rasterize import (
     CHUNK,
     _CS_FLOOR,
+    _DMA_DEPTH,
     _FWD_TRI_PASSES,
     _mm,
     _mm_nt,
@@ -141,22 +142,25 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
         num_chunks = pl.cdiv(start % CHUNK + count, CHUNK)
 
         def dma_for(k):
-            slot = jax.lax.rem(k, 2)
+            slot = jax.lax.rem(k, _DMA_DEPTH)
             return pltpu.make_async_copy(
                 rec_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
                 chunk_vmem.at[slot], sem.at[slot])
 
-        @pl.when(num_chunks > 0)
-        def _():
-            dma_for(jnp.int32(0)).start()
+        # _DMA_DEPTH-deep chunk-read pipeline (see pallas_rasterize:
+        # the [W, C] strided read is latency-bound, not bandwidth-bound)
+        for j in range(_DMA_DEPTH - 1):
+            @pl.when(j < num_chunks)
+            def _(j=j):
+                dma_for(jnp.int32(j)).start()
 
         def body(state):
             k, col, t, lt = state
-            @pl.when(k + 1 < num_chunks)
+            @pl.when(k + _DMA_DEPTH - 1 < num_chunks)
             def _():
-                dma_for(k + 1).start()
+                dma_for(k + _DMA_DEPTH - 1).start()
             dma_for(k).wait()
-            rec = chunk_vmem[jax.lax.rem(k, 2)]
+            rec = chunk_vmem[jax.lax.rem(k, _DMA_DEPTH)]
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
             alpha = _surfel_chunk_alpha(rec, px, py, window,
                                         cfg.min_alpha, nc)[0]
@@ -185,9 +189,10 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
             (jnp.int32(0), jnp.zeros((p, nc), jnp.float32),
              jnp.ones((p, 1), jnp.float32),
              jnp.zeros((p, 1), jnp.float32)))
-        @pl.when(k_end < num_chunks)
-        def _():
-            dma_for(k_end).wait()
+        for j in range(_DMA_DEPTH - 1):
+            @pl.when(k_end + j < num_chunks)
+            def _(j=j):
+                dma_for(k_end + j).wait()
         colors_out[0] = col
         logt_out[0] = lt
         exit_k_out[i] = k_end
@@ -204,8 +209,9 @@ def _fwd(cfg, capacity, records, tile_starts, tile_counts, tile_ids):
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, SURFEL_RECORD_WIDTH, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_DMA_DEPTH, SURFEL_RECORD_WIDTH, CHUNK),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((_DMA_DEPTH,)),
         ],
     )
 
@@ -247,7 +253,7 @@ def _bwd(cfg, capacity, residuals, cotangents):
         glogt_t = glogt_blk[0]
 
         def dma_for(k):
-            slot = jax.lax.rem(k, 2)
+            slot = jax.lax.rem(k, _DMA_DEPTH)
             return pltpu.make_async_copy(
                 rec_hbm.at[:, pl.ds((start_chunk + k) * CHUNK, CHUNK)],
                 chunk_vmem.at[slot], sem.at[slot])
@@ -272,7 +278,11 @@ def _bwd(cfg, capacity, residuals, cotangents):
 
         @pl.when(k_exit > 0)
         def _():
-            dma_for(k_exit - 1).start()
+            # _DMA_DEPTH-deep descending record reads (pallas_rasterize)
+            for j in range(_DMA_DEPTH - 1):
+                @pl.when(k_exit - 1 - j >= 0)
+                def _(j=j):
+                    dma_for(k_exit - 1 - j).start()
             @pl.when(is_boundary(k_exit - 1))
             def _():
                 grad_read_for(k_exit - 1).start()
@@ -280,9 +290,11 @@ def _bwd(cfg, capacity, residuals, cotangents):
         def body(state):
             k, logt_after, sg = state
             k = k - 1
+            @pl.when(k - (_DMA_DEPTH - 1) >= 0)
+            def _():
+                dma_for(k - (_DMA_DEPTH - 1)).start()
             @pl.when(k > 0)
             def _():
-                dma_for(k - 1).start()
                 @pl.when(k + 1 < k_exit)
                 def _():
                     grad_write_for(k + 1).wait()
@@ -290,7 +302,7 @@ def _bwd(cfg, capacity, residuals, cotangents):
                 def _():
                     grad_read_for(k - 1).start()
             dma_for(k).wait()
-            rec = chunk_vmem[jax.lax.rem(k, 2)]
+            rec = chunk_vmem[jax.lax.rem(k, _DMA_DEPTH)]
             window = _window_mask((start_chunk + k) * CHUNK, start, count)
             (alpha, ea, su, sv, sp2, k0, k1, k2, l0, l1, l2, dx, dy,
              use3d) = _surfel_chunk_alpha(rec, px, py, window,
@@ -406,10 +418,11 @@ def _bwd(cfg, capacity, residuals, cotangents):
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((_DMA_DEPTH, SURFEL_RECORD_WIDTH, CHUNK),
+                       jnp.float32),
             pltpu.VMEM((2, SURFEL_RECORD_WIDTH, CHUNK), jnp.float32),
             pltpu.VMEM((2, SURFEL_RECORD_WIDTH, CHUNK), jnp.float32),
-            pltpu.VMEM((2, SURFEL_RECORD_WIDTH, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_DMA_DEPTH,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],

@@ -53,7 +53,8 @@ def _sync(out):
         np.asarray(jax.device_get(leaf[(0,) * getattr(leaf, "ndim", 0)]))
 
 
-def run_shape(splats, cfg, splat_shards, tile_shards, iters):
+def run_shape(splats, cfg, splat_shards, tile_shards, iters,
+              route="gather"):
     import optax
 
     from ..parallel.mesh import make_mesh
@@ -68,14 +69,14 @@ def run_shape(splats, cfg, splat_shards, tile_shards, iters):
     d = splat_shards * tile_shards
     mesh = make_mesh(jax.devices()[:d], splat_shards=splat_shards,
                      tile_shards=tile_shards)
-    sharded = device_put_sharded_splats(splats, mesh)
+    sharded = device_put_sharded_splats(splats, mesh, route=route)
     camera = _camera(cfg)
     target = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
     target_tiles, tile_mask = image_to_tile_blocks(target, cfg)
 
     opt = optax.adam(1e-3)
     state = TrainState.create(sharded, opt)
-    step = make_train_step(cfg, mesh, opt)
+    step = make_train_step(cfg, mesh, opt, route=route)
     state, metrics = step(state, camera, target_tiles, tile_mask)
     jax.block_until_ready(metrics["loss"])
     _sync(metrics["loss"][None])
@@ -87,16 +88,17 @@ def run_shape(splats, cfg, splat_shards, tile_shards, iters):
     ms = (time.perf_counter() - t0) / iters * 1000.0
 
     # per-device work volumes (the pipeline's own sizing functions)
-    n_local = -(-n // splat_shards)
+    n_local = -(-n // (d if route == "a2a" else splat_shards))
     ecap = default_exchange_capacity(cfg, n_local, tile_shards)
-    gathered = splat_shards * ecap
+    _, stats = sharded_render_tiles(
+        mesh, sharded, camera, cfg, return_stats=True, route=route)
+    gathered = int(stats["gathered_records"])
     lanes, aux, pad = slot_layout_for(cfg, gathered)
     sort_slots = lanes * gathered + aux + pad
-    _, stats = sharded_render_tiles(
-        mesh, sharded, camera, cfg, return_stats=True)
     slab_pairs = np.asarray(stats["slab_pairs"]).tolist()
     return {
         "mesh": f"{splat_shards}x{tile_shards}",
+        "route": route,
         "devices": d,
         "ms_per_step": round(ms, 1),
         "msplats_per_s": round(n / ms / 1e3, 2),
@@ -144,16 +146,36 @@ def predict_efficiency(results, n, t_proj_1, t_rest_1, gbps):
     for r in results:
         s, t = (int(x) for x in r["mesh"].split("x"))
         d = s * t
+        a2a = r.get("route") == "a2a"
         out = {}
         for name, bw in gbps.items():
-            comm = ((s - 1) / s * (r["exchange_mb_per_device"]
-                                   + r["exchange_bwd_mb_per_device"]) / bw
-                    + (t - 1) / t * (12 * 4 * (n / s) / 1e6) / bw)
-            t_pred = t_proj_1 / s + t_rest_1 / t + comm
+            wire = (r["exchange_mb_per_device"]
+                    + r["exchange_bwd_mb_per_device"])
+            if a2a:
+                # projection fully sharded: no replicated-input psum;
+                # the extra all_to_all hop moves ~1/s of the wire twice
+                comm = ((s - 1) / s * wire + 2 * (t - 1) / t * wire / s) \
+                    / bw
+                t_pred = t_proj_1 / d + t_rest_1 / t + comm
+            else:
+                # projection replicated over the tile axis: pay the
+                # parameter-grad psum for the N/s local splats
+                comm = ((s - 1) / s * wire / bw
+                        + (t - 1) / t * (12 * 4 * (n / s) / 1e6) / bw)
+                t_pred = t_proj_1 / s + t_rest_1 / t + comm
             out[f"predicted_ms_{name}"] = round(t_pred, 2)
             out[f"predicted_eff_{name}"] = round(t1 / (d * t_pred), 3)
         r.update(out)
     return results
+
+
+def _print_shape(r):
+    print(f"  {r['mesh']:>5s}/{r['route']:<6s} {r['ms_per_step']:8.1f} "
+          f"ms/step  {r['msplats_per_s']:8.2f} Msplats/s  "
+          f"exch/dev {r['exchange_records_per_device']:>8d} rec "
+          f"({r['exchange_mb_per_device']:.1f} MB)  "
+          f"sort slots/dev {r['sort_slots_per_device']:>9d}  "
+          f"overflow {r['overflow']}", flush=True)
 
 
 def _camera(cfg):
@@ -183,6 +205,8 @@ def main():
     ap.add_argument("--gbps", default="ici:80,dcn:6.25",
                     help="effective per-device collective bandwidths "
                          "(GB/s) to predict at, name:value pairs")
+    ap.add_argument("--route", default="gather",
+                    choices=["gather", "a2a", "both"])
     args = ap.parse_args()
     n = int(args.n)
 
@@ -209,16 +233,16 @@ def main():
         print("(virtual CPU mesh: wall-clock columns are NOT a scaling "
               "measurement; work-volume columns are)", flush=True)
 
+    routes = (["gather", "a2a"] if args.route == "both"
+              else [args.route])
     results = []
     for s, t in shapes:
-        r = run_shape(splats, cfg, s, t, args.iters)
-        results.append(r)
-        print(f"  {r['mesh']:>5s}  {r['ms_per_step']:8.1f} ms/step  "
-              f"{r['msplats_per_s']:8.2f} Msplats/s  "
-              f"exch/dev {r['exchange_records_per_device']:>8d} rec "
-              f"({r['exchange_mb_per_device']:.1f} MB)  "
-              f"sort slots/dev {r['sort_slots_per_device']:>9d}  "
-              f"overflow {r['overflow']}", flush=True)
+        for route in routes:
+            if route == "a2a" and t == 1:
+                continue        # no tile axis: identical to gather
+            r = run_shape(splats, cfg, s, t, args.iters, route=route)
+            results.append(r)
+            _print_shape(r)
 
     base = results[0]
     for r in results:
@@ -246,7 +270,10 @@ def main():
         # O(alpha * N / tile_shards) contract: per-device exchange/sort
         # volumes shrink with the tile axis and never track full N.
         by_tiles = {}
-        for (s, t), r in zip(shapes, results):
+        for r in results:
+            if r["route"] != "gather":
+                continue        # a2a volumes are strictly smaller
+            t = int(r["mesh"].split("x")[1])
             by_tiles.setdefault(t, []).append(r)
         for t, rs in by_tiles.items():
             for r in rs:

@@ -149,6 +149,69 @@ def test_sharded_multi_scene_dynamic_stereo():
     assert jnp.max(jnp.abs(left["color"] - right["color"])) > 1e-2
 
 
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_a2a_route_matches_single_device(shape):
+    """route='a2a': splats sharded over the FULL mesh, records routed by
+    an all_to_all hop then the splat-axis gather — forward must match the
+    single-device render like the gather route does."""
+    splats = scene()
+    mesh = make_mesh(splat_shards=shape[0], tile_shards=shape[1])
+    ref = gs.render(splats, CAM, CFG)
+    sp = device_put_sharded_splats(splats, mesh, route="a2a")
+    out = jax.jit(lambda s: sharded_render(
+        mesh, s, CAM, CFG, route="a2a"))(sp)
+    assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 2e-3
+    assert jnp.max(jnp.abs(out["alpha"] - ref["alpha"])) < 2e-3
+    assert int(out["overflow"]) == 0
+
+
+def test_a2a_route_gradients_match_single_device():
+    splats = scene(300)
+    mesh = make_mesh(splat_shards=2, tile_shards=4)
+    target = jnp.zeros((CFG.height, CFG.width, 3))
+
+    def loss_single(s):
+        return jnp.mean((gs.render(s, CAM, CFG)["color"] - target) ** 2)
+
+    def loss_sharded(s):
+        img = sharded_render(mesh, s, CAM, CFG, route="a2a")["color"]
+        return jnp.mean((img - target) ** 2)
+
+    g_ref = jax.grad(loss_single)(splats)
+    # a2a pads to a multiple of the FULL device count (8): padded splats
+    # are transparent, so their gradients must come back zero.
+    sp = device_put_sharded_splats(splats, mesh, route="a2a")
+    g_sh = jax.jit(jax.grad(loss_sharded))(sp)
+    n = splats.num_splats
+    for name in ("means", "scales", "quats", "colors", "sh"):
+        a = getattr(g_sh, name)
+        b = getattr(g_ref, name)
+        assert jnp.all(a[n:] == 0.0), name
+        scale = jnp.maximum(jnp.max(jnp.abs(b)), 1e-8)
+        assert jnp.max(jnp.abs(a[:n] - b)) / scale < 5e-3, name
+
+
+def test_a2a_train_step_reduces_loss():
+    mesh = make_mesh(splat_shards=2, tile_shards=4)
+    target_splats = scene(256, seed=11)
+    target = gs.render(target_splats, CAM, CFG)["color"]
+    target_tiles, tile_mask = image_to_tile_blocks(target, CFG)
+
+    init = scene(256, seed=12)
+    opt = optax.adam(2e-2)
+    state = TrainState.create(
+        device_put_sharded_splats(init, mesh, route="a2a"), opt)
+    step = jax.jit(make_train_step(CFG, mesh, opt, route="a2a"))
+
+    state, m0 = step(state, CAM, target_tiles, tile_mask)
+    losses = [float(m0["loss"])]
+    for _ in range(10):
+        state, m = step(state, CAM, target_tiles, tile_mask)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert all(jnp.isfinite(jnp.asarray(losses)))
+
+
 def test_sharded_exchange_capacity_sublinear():
     """The routed exchange's per-device buffers are O(alpha*N/tile_shards),
     not O(N): an undersized capacity must drop + count, an adequate one must
