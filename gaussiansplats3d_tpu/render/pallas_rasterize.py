@@ -250,6 +250,19 @@ _FWD_TRI_PASSES = 2
 # pipeline code is depth-generic if a future workload disagrees.
 _DMA_DEPTH = 2
 
+# Tiles composited per grid step (both kernels).  kernel_bench's
+# 'grid_only' variant measures 13.5 us/tile of per-step machinery, but
+# batching tiles does NOT recover it: measured on hardware (r5 job 08,
+# 2M/tile32) tps 1/2/4 are bit-identical AND time-identical (fwd
+# 35.8/35.2/35.2, bwd 51.5/51.7/52.4 ms) — Mosaic already overlaps the
+# output-block writes and step prologue with the next step's work.
+# Keep 1 (no padding work); the kernels are tps-generic if a future
+# tile size / workload disagrees.  Sub-tiles run fully sequentially with
+# per-tile DMA prime/drain, so the backward's boundary-chunk RMW
+# ordering is unchanged at any tps (the caller pads the tile list to a
+# multiple; padded tiles have count 0 -> zero chunks -> zero output).
+_TILES_PER_STEP = 1
+
 # Non-scan matmul precision (forward color accumulation, backward moment
 # basis / channel grads / cotangent broadcast): Precision.HIGHEST lowers
 # an f32 matmul to 6 bf16 MXU passes; a 3-pass double-limb product
@@ -354,7 +367,13 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
 
     def kernel(starts_ref, counts_ref, ids_ref, rec_hbm,
                chans_out, logt_out, exit_k_out, chunk_vmem, sem):
-        i = pl.program_id(0)
+        for sub in range(_TILES_PER_STEP):
+            _fwd_one_tile(sub, starts_ref, counts_ref, ids_ref, rec_hbm,
+                          chans_out, logt_out, exit_k_out, chunk_vmem, sem)
+
+    def _fwd_one_tile(sub, starts_ref, counts_ref, ids_ref, rec_hbm,
+                      chans_out, logt_out, exit_k_out, chunk_vmem, sem):
+        i = pl.program_id(0) * _TILES_PER_STEP + sub
         start = starts_ref[i]
         start_chunk = start // CHUNK
         count = counts_ref[i]
@@ -426,18 +445,27 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
             @pl.when(k_end + j < num_chunks)
             def _(j=j):
                 dma_for(k_end + j).wait()
-        chans_out[0] = col
-        logt_out[0] = lt      # finite by construction (>= _CS_FLOOR/chunk)
+        chans_out[sub] = col
+        logt_out[sub] = lt    # finite by construction (>= _CS_FLOOR/chunk)
         exit_k_out[i] = k_end
+
+    # Pad the tile list to a _TILES_PER_STEP multiple: padded tiles have
+    # count 0 (zero chunks -> zero output) and reuse tile id 0.
+    tps = _TILES_PER_STEP
+    t_pad = -(-t // tps) * tps
+    if t_pad != t:
+        tile_starts = jnp.pad(tile_starts, (0, t_pad - t))
+        tile_counts = jnp.pad(tile_counts, (0, t_pad - t))
+        tile_ids = jnp.pad(tile_ids, (0, t_pad - t))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(t,),
+        grid=(t_pad // tps,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, nc + 1, p), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tps, nc + 1, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tps, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -451,16 +479,16 @@ def _composite_fwd(cfg, capacity, records, tile_starts, tile_counts,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t, nc + 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((t, p, 1), jnp.float32),
-            jax.ShapeDtypeStruct((t,), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, nc + 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad,), jnp.int32),
         ],
     )(tile_starts, tile_counts, tile_ids, records)
-    # logt3 stays in its [t, p, 1] pallas-private form: only the backward
-    # kernel reads it (as a block input), so XLA never materializes a
-    # sliced copy.
+    # logt3/exit_k stay PADDED in the pallas-private residuals (only the
+    # backward kernel reads them, tile-for-tile at the same padding);
+    # chans is sliced back to the caller's tile count.
     residuals = (records, tile_starts, tile_counts, tile_ids, logt3, exit_k)
-    return chans, residuals
+    return chans[:t], residuals
 
 
 def _composite_bwd(cfg, capacity, residuals, cotangents):
@@ -474,7 +502,19 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
                rec_hbm, logt_blk, gcol_blk, grad_in_hbm,
                grad_hbm, chunk_vmem, gin_vmem, gout_vmem, sem, gsem, wsem):
         del grad_in_hbm   # aliased with grad_hbm (the output ref)
-        i = pl.program_id(0)
+        # Sub-tiles run fully sequentially (per-tile prime + drain), so
+        # the boundary-chunk RMW ordering between adjacent tiles is
+        # identical to one-tile-per-step.
+        for sub in range(_TILES_PER_STEP):
+            _bwd_one_tile(sub, starts_ref, counts_ref, ids_ref, exit_k_ref,
+                          rec_hbm, logt_blk, gcol_blk, grad_hbm,
+                          chunk_vmem, gin_vmem, gout_vmem, sem, gsem, wsem)
+
+    def _bwd_one_tile(sub, starts_ref, counts_ref, ids_ref, exit_k_ref,
+                      rec_hbm, logt_blk, gcol_blk,
+                      grad_hbm, chunk_vmem, gin_vmem, gout_vmem,
+                      sem, gsem, wsem):
+        i = pl.program_id(0) * _TILES_PER_STEP + sub
         start = starts_ref[i]
         start_chunk = start // CHUNK
         count = counts_ref[i]
@@ -482,8 +522,8 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         num_chunks = pl.cdiv(start % CHUNK + count, CHUNK)
         k_exit = exit_k_ref[i]
 
-        logt_fin_t = logt_blk[0]                      # [P, 1]
-        gcol_t = gcol_blk[0]                          # [NC+1, P] (alpha last)
+        logt_fin_t = logt_blk[sub]                    # [P, 1]
+        gcol_t = gcol_blk[sub]                        # [NC+1, P] (alpha last)
 
         # TILE-LOCAL pixel-moment basis (1, x, y, x^2, xy, y^2): every
         # spatial gradient row is a polynomial moment of d_quad in pixel
@@ -672,14 +712,23 @@ def _composite_bwd(cfg, capacity, residuals, cotangents):
         def _():
             grad_write_for(1).wait()
 
+    # The residual tile arrays are already padded to a _TILES_PER_STEP
+    # multiple (forward); only the cotangent needs padding here (padded
+    # tiles have exit_k 0, so their gchans rows are never read).
+    tps = _TILES_PER_STEP
+    t_pad = tile_starts.shape[0]
+    if gchans.shape[0] != t_pad:
+        gchans = jnp.pad(
+            gchans, ((0, t_pad - gchans.shape[0]), (0, 0), (0, 0)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(t,),
+        grid=(t_pad // tps,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # records
-            pl.BlockSpec((1, p, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tps, p, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # logt_fin
-            pl.BlockSpec((1, nc + 1, p), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tps, nc + 1, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),                # gchans
             pl.BlockSpec(memory_space=pl.ANY),                 # grad in
         ],

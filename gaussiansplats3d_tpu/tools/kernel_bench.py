@@ -60,6 +60,14 @@ def build_variant(cfg, variant: str):
         px, py = _pixel_coords(ids_ref[i], cfg)
         num_chunks = pl.cdiv(start % CHUNK + count, CHUNK)
 
+        if variant == "grid_only":
+            # no DMA, no loop: isolates the per-grid-step (per-tile)
+            # dispatch/prologue/output cost from the chunk work
+            colors_out[0] = jnp.zeros((p, nc), jnp.float32)
+            logt_out[0] = jnp.zeros((p, 1), jnp.float32)
+            exit_k_out[i] = num_chunks
+            return
+
         def dma_for(k):
             slot = jax.lax.rem(k, 2)
             return pltpu.make_async_copy(
@@ -197,7 +205,7 @@ def main():
 
     for variant in ("full", "mxu_scan_2", "mxu_scan_3",
                     "exit_every4", "no_exit", "no_scan",
-                    "no_matmul", "dma_only"):
+                    "no_matmul", "dma_only", "grid_only"):
         fn = jax.jit(build_variant(cfg, variant))
         ms = _timeit(fn, records, pairs.tile_starts, pairs.tile_counts,
                      tile_ids)
