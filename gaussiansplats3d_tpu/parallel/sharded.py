@@ -187,36 +187,34 @@ jax.tree_util.register_pytree_node(
     _SrcN, lambda x: ((), int(x)), lambda aux, _: _SrcN(aux))
 
 
-def _routed_exchange_bwd(plan, ecap, n_diff, exact_rows, residuals, cots):
-    src, n_keep, n = residuals
-    n = int(n)
-    nf = len(cots) - 2                    # trailing gvalid, dropped
-    g = list(cots[:n_diff])               # cotangents of gathered fields
+def _ct_wire_split(g, n_diff, exact_rows):
+    """(exact idx list, rest idx list, f32 stack, bf16 stack) for the
+    backward wire: f32 for ``exact_rows`` (the mean2d densification
+    signal), bf16 (f32 exponent range — no gradient magnitude flushes)
+    for the rest."""
     exact = [i for i in exact_rows if i < n_diff]
     rest = [i for i in range(n_diff) if i not in exact]
-    # Backward wire: f32 for the exact rows, bf16 (f32 exponent range — no
-    # gradient magnitude flushes) for the rest; psum_scatter sums each
-    # device's contribution back onto the owning shard's [ecap] block.
-    ct_f32 = jnp.stack([g[i] for i in exact])                 # [E, S_g]
+    ct_f32 = jnp.stack([g[i] for i in exact])
     ct_bf16 = jnp.stack([g[i].astype(jnp.bfloat16) for i in rest])
-    my_f32 = jax.lax.psum_scatter(ct_f32, SPLAT_AXIS,
-                                  scatter_dimension=1, tiled=True)
-    my_bf16 = jax.lax.psum_scatter(ct_bf16, SPLAT_AXIS,
-                                   scatter_dimension=1, tiled=True)
-    # Invalid slots (beyond this shard's keep count) scatter nowhere.
-    slot_ok = jnp.arange(ecap, dtype=jnp.int32) < n_keep
-    dst = jnp.where(slot_ok, src, n)      # ascending + unique -> fast path
+    return exact, rest, ct_f32, ct_bf16
 
-    d = [None] * nf
+
+def _ct_scatter_block(d, dst, my_f32, my_bf16, exact, rest, n):
+    """Scatter one block of wire cotangents back to its source rows,
+    ACCUMULATING into the per-field list ``d`` (None == zero so the
+    single-block gather route pays no extra adds).  ``dst`` must be
+    ascending with invalid slots mapped to ``n`` (drop); bf16 rows ride
+    PAIRS packed two-per-int32 (exact — the values are already bf16) so
+    two fields cost one scatter."""
+    def acc(i, val):
+        d[i] = val if d[i] is None else d[i] + val
 
     def scatter_f32(row):
         return jnp.zeros((n,), jnp.float32).at[dst].set(
             row, mode="drop", unique_indices=True, indices_are_sorted=True)
 
     for k, i in enumerate(exact):
-        d[i] = scatter_f32(my_f32[k])
-    # bf16 rows: pack PAIRS two-per-int32 (exact — the values are already
-    # bf16) so two fields cost one scatter.
+        acc(i, scatter_f32(my_f32[k]))
     for k in range(0, len(rest) - 1, 2):
         u = (jax.lax.bitcast_convert_type(
                 my_bf16[k], jnp.uint16).astype(jnp.uint32) << 16) | \
@@ -226,13 +224,34 @@ def _routed_exchange_bwd(plan, ecap, n_diff, exact_rows, residuals, cots):
             u.astype(jnp.int32), mode="drop", unique_indices=True,
             indices_are_sorted=True)
         fu = full.astype(jnp.uint32)
-        d[rest[k]] = jax.lax.bitcast_convert_type(
-            (fu >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
-        d[rest[k + 1]] = jax.lax.bitcast_convert_type(
+        acc(rest[k], jax.lax.bitcast_convert_type(
+            (fu >> 16).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32))
+        acc(rest[k + 1], jax.lax.bitcast_convert_type(
             (fu & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
-        ).astype(jnp.float32)
+        ).astype(jnp.float32))
     if len(rest) % 2:
-        d[rest[-1]] = scatter_f32(my_bf16[-1].astype(jnp.float32))
+        acc(rest[-1], scatter_f32(my_bf16[-1].astype(jnp.float32)))
+
+
+def _routed_exchange_bwd(plan, ecap, n_diff, exact_rows, residuals, cots):
+    src, n_keep, n = residuals
+    n = int(n)
+    nf = len(cots) - 2                    # trailing gvalid, dropped
+    g = list(cots[:n_diff])               # cotangents of gathered fields
+    exact, rest, ct_f32, ct_bf16 = _ct_wire_split(g, n_diff, exact_rows)
+    # psum_scatter sums each device's contribution back onto the owning
+    # shard's [ecap] block.
+    my_f32 = jax.lax.psum_scatter(ct_f32, SPLAT_AXIS,
+                                  scatter_dimension=1, tiled=True)
+    my_bf16 = jax.lax.psum_scatter(ct_bf16, SPLAT_AXIS,
+                                   scatter_dimension=1, tiled=True)
+    # Invalid slots (beyond this shard's keep count) scatter nowhere.
+    slot_ok = jnp.arange(ecap, dtype=jnp.int32) < n_keep
+    dst = jnp.where(slot_ok, src, n)      # ascending + unique -> fast path
+
+    d = [None] * nf
+    _ct_scatter_block(d, dst, my_f32, my_bf16, exact, rest, n)
     return (None, *d)
 
 
@@ -319,10 +338,7 @@ def _routed_exchange_a2a_bwd(plan, ecap, n_diff, exact_rows, t_shards,
     n = int(n)
     nf = len(cots) - 2
     g = list(cots[:n_diff])
-    exact = [i for i in exact_rows if i < n_diff]
-    rest = [i for i in range(n_diff) if i not in exact]
-    ct_f32 = jnp.stack([g[i] for i in exact])                  # [E, S_g]
-    ct_bf16 = jnp.stack([g[i].astype(jnp.bfloat16) for i in rest])
+    exact, rest, ct_f32, ct_bf16 = _ct_wire_split(g, n_diff, exact_rows)
     my_f32 = jax.lax.psum_scatter(ct_f32, SPLAT_AXIS,
                                   scatter_dimension=1, tiled=True)
     my_bf16 = jax.lax.psum_scatter(ct_bf16, SPLAT_AXIS,
@@ -337,36 +353,14 @@ def _routed_exchange_a2a_bwd(plan, ecap, n_diff, exact_rows, t_shards,
         my_bf16.reshape(-1, t_shards, ecap), TILE_AXIS,
         split_axis=1, concat_axis=1)
 
+    # Per-slab scatter-sets ACCUMULATE over slabs (a record straddling
+    # slabs receives cotangents from each).
     d = [None] * nf
-    for i in range(n_diff):
-        d[i] = jnp.zeros((n,), jnp.float32)
     iota_e = jnp.arange(ecap, dtype=jnp.int32)
     for j in range(t_shards):
         dst = jnp.where(iota_e < nk[j], srcs[j], n)
-        for k, i in enumerate(exact):
-            d[i] = d[i] + jnp.zeros((n,), jnp.float32).at[dst].set(
-                my_f32[k, j], mode="drop", unique_indices=True,
-                indices_are_sorted=True)
-        for k in range(0, len(rest) - 1, 2):
-            u = (jax.lax.bitcast_convert_type(
-                    my_bf16[k, j], jnp.uint16).astype(jnp.uint32) << 16) | \
-                jax.lax.bitcast_convert_type(
-                    my_bf16[k + 1, j], jnp.uint16).astype(jnp.uint32)
-            full = jnp.zeros((n,), jnp.int32).at[dst].set(
-                u.astype(jnp.int32), mode="drop", unique_indices=True,
-                indices_are_sorted=True)
-            fu = full.astype(jnp.uint32)
-            d[rest[k]] = d[rest[k]] + jax.lax.bitcast_convert_type(
-                (fu >> 16).astype(jnp.uint16), jnp.bfloat16
-            ).astype(jnp.float32)
-            d[rest[k + 1]] = d[rest[k + 1]] + jax.lax.bitcast_convert_type(
-                (fu & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
-            ).astype(jnp.float32)
-        if len(rest) % 2:
-            d[rest[-1]] = d[rest[-1]] + jnp.zeros(
-                (n,), jnp.float32).at[dst].set(
-                my_bf16[-1, j].astype(jnp.float32), mode="drop",
-                unique_indices=True, indices_are_sorted=True)
+        _ct_scatter_block(d, dst, my_f32[:, j], my_bf16[:, j],
+                          exact, rest, n)
     return (None, *d)
 
 
@@ -459,13 +453,18 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
         else:
             y, ry = proj.ys, proj.ry
         if cfg.record_precision == "packed" and not cfg.render_mode_2d:
-            # Route with the SAME u8-log-decoded radius binning will use:
-            # the codec only inflates (ceil), so filtering on the raw
-            # radius could silently skip a splat whose inflated rect
-            # crosses into this slab's first tile row (the compositor's
-            # hard cutoff is the decoded box — box contract).
-            from ..render.binning import _rad_decode_u8, _rad_encode_u8
+            # Route with the SAME u8-log-decoded radius AND u16-quantized
+            # position binning will use: the radius codec only inflates
+            # (ceil) and the position codec truncates by up to 1/scale
+            # px, so filtering on the raw values could silently skip a
+            # splat whose decoded box crosses into this slab's first
+            # tile row (the compositor's hard cutoff is the decoded box
+            # — box contract; binning quantizes identically).
+            from ..render.binning import (
+                _px_quantize, _px_scale_for, _rad_decode_u8,
+                _rad_encode_u8)
             ry = _rad_decode_u8(_rad_encode_u8(ry))
+            y = _px_quantize(jax.lax.stop_gradient(y), _px_scale_for(cfg))
         ty0 = jnp.floor((y - ry) / ts).astype(jnp.int32)
         ty1 = jnp.floor((y + ry) / ts).astype(jnp.int32)
         touch = proj.mask & (ty1 >= ty_lo) & (ty0 < ty_hi)

@@ -150,6 +150,20 @@ def _unpack_px_pair(packed: jnp.ndarray, scale: float):
             (u & 0xFFFF).astype(jnp.float32) * inv - _PX_OFFSET)
 
 
+def _px_quantize(v: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """decode(encode(v)) of the u16 fixed-point position codec — the
+    value the compositor will actually read in packed mode.  Idempotent
+    (u/scale is exact dyadic for scale 8/16), so quantizing again — e.g.
+    post-exchange binning after the sharded wire already packed — is a
+    no-op.  Every consumer that builds tile rects or slab filters from
+    packed-mode positions must use THIS value, not the raw one: the
+    codec truncates by up to 1/scale px, which can move a support-box
+    edge across a tile or slab boundary (box contract)."""
+    q = jnp.clip((v + _PX_OFFSET) * scale, 0.0, 65535.0).astype(
+        jnp.uint32)
+    return q.astype(jnp.float32) * (1.0 / scale) - _PX_OFFSET
+
+
 def _pack_bf16_pair(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     """Two f32 -> one int32 carrying two round-to-nearest bf16 payloads.
 
@@ -805,7 +819,17 @@ def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
     if cfg.record_precision == "packed":
         rx = _rad_decode_u8(_rad_encode_u8(rx))
         ry = _rad_decode_u8(_rad_encode_u8(ry))
-        proj_q = dataclasses.replace(proj, rx=rx, ry=ry)
+        # Rects must come from the QUANTIZED positions the compositor
+        # will read (the px codec truncates by up to 1/scale px, which
+        # can move a box edge across a tile boundary — and the sharded
+        # exchange ships positions already quantized, so raw-position
+        # rects would also diverge sharded-vs-single).  _px_quantize is
+        # idempotent, so re-quantizing post-exchange values is a no-op.
+        pxs = _px_scale_for(cfg)
+        proj_q = dataclasses.replace(
+            proj, rx=rx, ry=ry,
+            xs=_px_quantize(si(proj.xs), pxs),
+            ys=_px_quantize(si(proj.ys), pxs))
         tx0, tx1, ty0, ty1, counts = tile_bounds(proj_q, cfg, ty_lo, ty_hi)
         wt = tx1 - tx0 + 1
         ht = ty1 - ty0 + 1

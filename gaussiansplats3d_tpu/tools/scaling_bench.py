@@ -238,8 +238,8 @@ def main():
     results = []
     for s, t in shapes:
         for route in routes:
-            if route == "a2a" and t == 1:
-                continue        # no tile axis: identical to gather
+            if route == "a2a" and t == 1 and len(routes) > 1:
+                continue    # t=1 a2a == gather; skip only when gather runs
             r = run_shape(splats, cfg, s, t, args.iters, route=route)
             results.append(r)
             _print_shape(r)

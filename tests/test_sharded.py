@@ -234,6 +234,26 @@ def test_sharded_exchange_capacity_sublinear():
     assert bool(jnp.all(jnp.isfinite(small["color"])))
 
 
+def test_a2a_packed_matches_single_device():
+    """route='a2a' x record_precision='packed': the per-slab touch filter
+    must use the u8-log-decoded (inflated) support radius exactly like
+    the gather route (box contract), and the packed wire codecs must
+    stay idempotent through the extra all_to_all hop."""
+    import dataclasses
+    splats = scene(400, seed=9)
+    big = (jnp.arange(400) % 7 == 0)[:, None]
+    splats = dataclasses.replace(
+        splats, scales=jnp.where(big, splats.scales * 6.0, splats.scales))
+    cfg = CFG.replace(record_precision="packed", forward_only=True)
+    ref = gs.render(splats, CAM, cfg)
+    mesh = make_mesh(splat_shards=2, tile_shards=4)
+    sp = device_put_sharded_splats(splats, mesh, route="a2a")
+    out = jax.jit(lambda s: sharded_render(
+        mesh, s, CAM, cfg, route="a2a"))(sp)
+    assert int(out["overflow"]) == 0
+    assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 4e-3
+
+
 @pytest.mark.skipif("not __import__('os').environ.get('GS_BIG_DRYRUN')")
 def test_sharded_16m_dryrun():
     """BASELINE config 4 shape-check: 16M splats through the routed
