@@ -82,6 +82,26 @@ def default_exchange_capacity(cfg: RenderConfig, n_local: int,
     return -(-cap // 128) * 128
 
 
+def interleave_tile_order(x: jnp.ndarray, t_shards: int, tiles_x: int
+                          ) -> jnp.ndarray:
+    """Global row-major tile blocks -> interleaved-slab order (slab j owns
+    rows {j, j+t, ...}; order (j, r, tx)).  Applied to replicated targets
+    so the loss can compare against slab-sharded chans elementwise."""
+    rows = x.shape[0] // tiles_x
+    rows_per = rows // t_shards
+    y = x.reshape((rows_per, t_shards, tiles_x) + x.shape[1:])
+    return y.swapaxes(0, 1).reshape(x.shape)
+
+
+def deinterleave_tile_order(x: jnp.ndarray, t_shards: int, tiles_x: int
+                            ) -> jnp.ndarray:
+    """Inverse of :func:`interleave_tile_order` (chans -> global order)."""
+    rows = x.shape[0] // tiles_x
+    rows_per = rows // t_shards
+    y = x.reshape((t_shards, rows_per, tiles_x) + x.shape[1:])
+    return y.swapaxes(0, 1).reshape(x.shape)
+
+
 def exchange_plan(cfg: RenderConfig, surfel: bool):
     """(field order, n_diff, pack plan, exact-cotangent rows) for the
     routed exchange, mirroring binning's record_precision plans.
@@ -378,8 +398,18 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                          exchange_capacity: Optional[int] = None,
                          return_overflow: bool = False,
                          return_stats: bool = False,
-                         route: str = "gather"):
+                         route: str = "gather",
+                         slab_mode: str = "banded"):
     """Render to tile blocks over the mesh.
+
+    ``slab_mode``: 'banded' (default) gives each tile shard a contiguous
+    band of tile rows; 'interleaved' assigns rows round-robin (shard j
+    owns rows {j, j+t, ...}), which collapses the per-shard pair-count
+    imbalance a scene's dense screen region causes (measured ~2.2x at 8
+    banded slabs — SCALING_r05).  With 'interleaved' the returned chans
+    are in slab-major order — :func:`deinterleave_tile_order` restores
+    global row order (``sharded_render`` does this; training compares
+    against :func:`interleave_tile_order`-permuted targets instead).
 
     ``route``: 'gather' (default) shards splats over the splat axis only
     and all_gathers slab records within each tile row — projection is
@@ -407,6 +437,9 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
     del capacity  # superseded by the fused expand+sort slot layout
     if route not in ("gather", "a2a"):
         raise ValueError(f"route must be 'gather' or 'a2a', got {route!r}")
+    if slab_mode not in ("banded", "interleaved"):
+        raise ValueError(
+            f"slab_mode must be 'banded' or 'interleaved', got {slab_mode!r}")
     tile_shards = mesh.shape[TILE_AXIS]
     splat_shards = mesh.shape[SPLAT_AXIS]
     rows = _tile_rows_per_shard(cfg, tile_shards)
@@ -467,11 +500,25 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
             y = _px_quantize(jax.lax.stop_gradient(y), _px_scale_for(cfg))
         ty0 = jnp.floor((y - ry) / ts).astype(jnp.int32)
         ty1 = jnp.floor((y + ry) / ts).astype(jnp.int32)
-        touch = proj.mask & (ty1 >= ty_lo) & (ty0 < ty_hi)
-        if route == "a2a":
-            touch_all = jnp.stack([
-                proj.mask & (ty1 >= j * rows) & (ty0 < (j + 1) * rows)
-                for j in range(tile_shards)])
+        if slab_mode == "interleaved":
+            # slab j owns rows {j, j+t, ...}: touched iff the rect's
+            # [ty0, ty1] contains any such row (the strided local range
+            # [ceil((ty0-j)/t), floor((ty1-j)/t)] is non-empty; binning
+            # clips harder, so over-inclusion here is safe)
+            def touch_rows(j):
+                lo = -((-(ty0 - j)) // tile_shards)
+                hi = (ty1 - j) // tile_shards
+                return proj.mask & (hi >= lo) & (hi >= 0) & (lo < rows)
+            touch = touch_rows(t_idx)
+            if route == "a2a":
+                touch_all = jnp.stack(
+                    [touch_rows(j) for j in range(tile_shards)])
+        else:
+            touch = proj.mask & (ty1 >= ty_lo) & (ty0 < ty_hi)
+            if route == "a2a":
+                touch_all = jnp.stack([
+                    proj.mask & (ty1 >= j * rows) & (ty0 < (j + 1) * rows)
+                    for j in range(tile_shards)])
 
         # depth is normally gradient-free plumbing (sort key only), but with
         # cfg.return_depth it also feeds the depth CHANNEL, which must stay
@@ -502,7 +549,19 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
             out_ex = _routed_exchange(plan, ecap, n_diff, exact_rows,
                                       touch, *fields)
         gathered, gmask, dropped = out_ex[:-2], out_ex[-2], out_ex[-1]
-        tile_lo = t_idx * local_tiles
+        if slab_mode == "interleaved":
+            # local tile l -> global tile id (round-robin rows); binning
+            # runs in local row units via row_window
+            l = jnp.arange(local_tiles, dtype=jnp.int32)
+            tile_arg = ((t_idx + (l // cfg.tiles_x) * tile_shards)
+                        * cfg.tiles_x + l % cfg.tiles_x)
+            bin_kwargs = dict(row_window=(t_idx, tile_shards, rows),
+                              depth_bounds=(dmin, dmax))
+        else:
+            tile_arg = t_idx * local_tiles
+            bin_kwargs = dict(
+                tile_range=(t_idx * local_tiles, local_tiles),
+                depth_bounds=(dmin, dmax))
 
         if cfg.render_mode_2d:
             from ..render.surfel import (
@@ -518,11 +577,10 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                 depth=jnp.where(gmask, gdepth, big),
                 mask=gmask)
             recs, starts, tcounts, _, pair_ovf = bin_sort_surfels(
-                sp_g, cfg, tile_range=(tile_lo, local_tiles),
-                depth_bounds=(dmin, dmax))
+                sp_g, cfg, **bin_kwargs)
             from ..render.pipeline import chans_from_colors_logt
             tile_colors, tile_logtrans = composite_surfels_sorted(
-                cfg, recs, starts, tcounts, tile_lo, local_tiles)
+                cfg, recs, starts, tcounts, tile_arg, local_tiles)
             chans = chans_from_colors_logt(tile_colors, tile_logtrans)
         else:
             (gx, gy, gca, gcb, gcc, gcr, gcg, gcb2, gop, gdepth,
@@ -537,10 +595,8 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
                 mask=gmask)
 
             # --- slab-local fused expand + sort + composite -----------
-            pairs = bin_sort_records(proj_g, cfg,
-                                     tile_range=(tile_lo, local_tiles),
-                                     depth_bounds=(dmin, dmax))
-            chans = composite_sorted(cfg, pairs, tile_lo, local_tiles)
+            pairs = bin_sort_records(proj_g, cfg, **bin_kwargs)
+            chans = composite_sorted(cfg, pairs, tile_arg, local_tiles)
             pair_ovf = pairs.overflow
         # dropped (exchange) is per-(splat shard, slab) -> sum over BOTH
         # axes; pair_ovf is computed from the all_gathered records so it is
@@ -608,7 +664,8 @@ def sharded_render(mesh: Mesh, splats: SplatData, camera: Camera,
                    scene_opacities: Optional[jnp.ndarray] = None,
                    scene_visibility: Optional[jnp.ndarray] = None,
                    exchange_capacity: Optional[int] = None,
-                   route: str = "gather"):
+                   route: str = "gather",
+                   slab_mode: str = "banded"):
     """Full sharded render returning the assembled image dict (with the
     exchange + pair-list ``overflow`` counter)."""
     chans, overflow = sharded_render_tiles(
@@ -616,7 +673,10 @@ def sharded_render(mesh: Mesh, splats: SplatData, camera: Camera,
         transforms=transforms, scene_indices=scene_indices,
         scene_opacities=scene_opacities, scene_visibility=scene_visibility,
         exchange_capacity=exchange_capacity, return_overflow=True,
-        route=route)
+        route=route, slab_mode=slab_mode)
+    if slab_mode == "interleaved":
+        chans = deinterleave_tile_order(
+            chans, mesh.shape[TILE_AXIS], cfg.tiles_x)
     out = assemble_image(chans, cfg)
     out["overflow"] = overflow
     return out

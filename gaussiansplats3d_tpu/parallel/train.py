@@ -101,7 +101,8 @@ def image_to_tile_blocks(img: jnp.ndarray, cfg: RenderConfig):
 def make_train_step(cfg: RenderConfig, mesh, optimizer,
                     capacity: Optional[int] = None,
                     exchange_capacity: Optional[int] = None,
-                    route: str = "gather"):
+                    route: str = "gather",
+                    slab_mode: str = "banded"):
     """Build a jitted sharded train step.
 
     Returns ``step(state, camera, target_tiles, tile_mask) ->
@@ -119,7 +120,18 @@ def make_train_step(cfg: RenderConfig, mesh, optimizer,
         # [T, P, C] targets fuses into the elementwise error.
         chans = sharded_render_tiles(
             mesh, splats, camera, cfg,
-            exchange_capacity=exchange_capacity, route=route)
+            exchange_capacity=exchange_capacity, route=route,
+            slab_mode=slab_mode)
+        if slab_mode == "interleaved":
+            # compare against slab-major-permuted targets rather than
+            # reordering the tile-sharded chans (which would cost a
+            # cross-device permute); the loss reduction is order-free.
+            from .sharded import interleave_tile_order
+            from .mesh import TILE_AXIS
+            t_sh = mesh.shape[TILE_AXIS]
+            target_tiles = interleave_tile_order(
+                target_tiles, t_sh, cfg.tiles_x)
+            tile_mask = interleave_tile_order(tile_mask, t_sh, cfg.tiles_x)
         bg = jnp.asarray(cfg.background, jnp.float32)
         trans = 1.0 - chans[:, -1]
         rendered = chans[:, :3] + trans[:, None] * bg[None, :, None]

@@ -72,6 +72,48 @@ def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig,
     return tx0, tx1, ty0, ty1, counts.astype(jnp.int32)
 
 
+def tile_bounds_strided(proj: ProjectedSplats, cfg: RenderConfig,
+                        row_start: int | jnp.ndarray, row_stride: int,
+                        rows_per: int):
+    """Tile bounds in LOCAL coordinates of a strided (round-robin) tile-row
+    slab: the device owns global rows {row_start + r*row_stride}.
+
+    Contiguous banded slabs concentrate a scene's dense screen region on
+    one device (measured per-slab pair imbalance ~2.2x at 8 slabs —
+    SCALING_r05); round-robin rows sample the whole screen per device, so
+    per-device pair counts concentrate toward the mean.  A global rect
+    [ty0, ty1] maps to the contiguous LOCAL row range
+    [ceil((ty0-j)/s), floor((ty1-j)/s)] — possibly empty when the rect
+    sits between owned rows — so the whole fused expand+sort machinery
+    (lane rects, aux ownership, keys) runs unchanged on the local grid.
+
+    Returns (tx0, tx1, ty0_l, ty1_l, counts) like :func:`tile_bounds`,
+    with ty in local row units and counts 0 where no owned row is hit.
+    """
+    ts = float(cfg.tile_size)
+    x, y, rx, ry = proj.xs, proj.ys, proj.rx, proj.ry
+    tx0 = jnp.floor((x - rx) / ts).astype(jnp.int32)
+    tx1 = jnp.floor((x + rx) / ts).astype(jnp.int32)
+    ty0 = jnp.floor((y - ry) / ts).astype(jnp.int32)
+    ty1 = jnp.floor((y + ry) / ts).astype(jnp.int32)
+    ty0 = jnp.clip(ty0, 0, cfg.tiles_y - 1)
+    ty1 = jnp.clip(ty1, 0, cfg.tiles_y - 1)
+    j = jnp.asarray(row_start, jnp.int32)
+    s = row_stride
+    # jnp int // is floor division, so these are exact for ty < j too
+    ty0_l = -((-(ty0 - j)) // s)                  # ceil((ty0 - j) / s)
+    ty1_l = (ty1 - j) // s                        # floor((ty1 - j) / s)
+    inside = (proj.mask & (tx1 >= 0) & (tx0 < cfg.tiles_x)
+              & (ty1_l >= ty0_l) & (ty1_l >= 0) & (ty0_l < rows_per))
+    tx0 = jnp.clip(tx0, 0, cfg.tiles_x - 1)
+    tx1 = jnp.clip(tx1, 0, cfg.tiles_x - 1)
+    ty0_l = jnp.clip(ty0_l, 0, rows_per - 1)
+    ty1_l = jnp.clip(ty1_l, 0, rows_per - 1)
+    counts = jnp.where(
+        inside, (tx1 - tx0 + 1) * (ty1_l - ty0_l + 1), 0)
+    return tx0, tx1, ty0_l, ty1_l, counts.astype(jnp.int32)
+
+
 # ===========================================================================
 # Fused expand + sort + records path ("records ride the sort")
 # ===========================================================================
@@ -760,7 +802,8 @@ _expand_sort.defvjp(_expand_sort_fwd, _expand_sort_bwd)
 def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
                      tile_range: tuple | None = None,
                      depth_bounds: tuple | None = None,
-                     aux_capacity: int | None = None) -> SortedPairs:
+                     aux_capacity: int | None = None,
+                     row_window: tuple | None = None) -> SortedPairs:
     """Expand splats into depth-sorted per-tile pair RECORDS in one sort.
 
     Record fields ride the ONE stable pair sort as value operands (see
@@ -773,6 +816,11 @@ def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
     multi-chip path's per-device slab; output tile ids are range-relative.
     ``depth_bounds``: optional (dmin, dmax) scalars so sharded callers
     quantize depth identically on every shard.
+    ``row_window``: optional (row_start, row_stride, rows_per) —
+    round-robin tile-row ownership for the load-balanced sharded slabs
+    (:func:`tile_bounds_strided`); tile ids come out in LOCAL row units
+    (local row r = global row row_start + r*row_stride).  Mutually
+    exclusive with ``tile_range``.
     """
     if tile_range is None:
         tile_lo, num_tiles = 0, cfg.num_tiles
@@ -787,10 +835,23 @@ def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
         ty_lo = tile_lo // cfg.tiles_x
         ty_hi = ty_lo + num_tiles // cfg.tiles_x
 
+    if row_window is not None:
+        assert tile_range is None, "row_window replaces tile_range"
+        row_start, row_stride, rows_per = row_window
+        tile_lo = 0
+        num_tiles = rows_per * cfg.tiles_x
+
+        def bounds_fn(p):
+            return tile_bounds_strided(p, cfg, row_start, row_stride,
+                                       rows_per)
+    else:
+        def bounds_fn(p):
+            return tile_bounds(p, cfg, ty_lo, ty_hi)
+
     n = proj.opacity.shape[0]
     if aux_capacity is None:
         _, aux_capacity, _ = slot_layout_for(cfg, n)
-    tx0, tx1, ty0, ty1, counts = tile_bounds(proj, cfg, ty_lo, ty_hi)
+    tx0, tx1, ty0, ty1, counts = bounds_fn(proj)
     depth_q = quantize_depth(proj.depth, proj.mask, cfg.sort_bits,
                              depth_bounds)
     wt = tx1 - tx0 + 1
@@ -830,7 +891,7 @@ def bin_sort_records(proj: ProjectedSplats, cfg: RenderConfig,
             proj, rx=rx, ry=ry,
             xs=_px_quantize(si(proj.xs), pxs),
             ys=_px_quantize(si(proj.ys), pxs))
-        tx0, tx1, ty0, ty1, counts = tile_bounds(proj_q, cfg, ty_lo, ty_hi)
+        tx0, tx1, ty0, ty1, counts = bounds_fn(proj_q)
         wt = tx1 - tx0 + 1
         ht = ty1 - ty0 + 1
     rix = len(diff_fields)                    # rx, ry (non-diff)

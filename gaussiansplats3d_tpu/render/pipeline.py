@@ -57,12 +57,13 @@ def composite_sorted(cfg: RenderConfig, pairs: SortedPairs,
             "cfg.return_depth requires pairs built with the same config")
     if resolve_backend(cfg) == "pallas":
         from .pallas_rasterize import composite_tiles, pack_records_flat
+        from .rasterize import tile_ids_from_base
         records3 = pack_records_flat(
             pairs.xs, pairs.ys, pairs.cas, pairs.cbs, pairs.ccs,
             pairs.crs, pairs.cgs, pairs.cbs2, pairs.opas,
             pairs.rxs, pairs.rys,
             depths=pairs.depths if cfg.return_depth else None)
-        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32) + tile_base
+        tile_ids = tile_ids_from_base(num_tiles, tile_base)
         return composite_tiles(cfg, s_cap, records3,
                                pairs.tile_starts, pairs.tile_counts, tile_ids)
     chan = [pairs.crs, pairs.cgs, pairs.cbs2]

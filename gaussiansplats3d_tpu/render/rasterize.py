@@ -112,6 +112,19 @@ def rasterize_pairs(cfg: RenderConfig, capacity: int,
 _GROUP_SIZE = 64
 
 
+def tile_ids_from_base(t_total: int, tile_base) -> jnp.ndarray:
+    """Global tile ids for a local tile range: ``tile_base`` is either the
+    scalar global id of local tile 0 (contiguous banded slabs) or a [t]
+    array of per-tile global ids (the interleaved round-robin slabs);
+    padded entries reuse id 0 (their counts are 0)."""
+    base = jnp.asarray(tile_base)
+    if base.ndim == 1:
+        ids = base.astype(jnp.int32)
+        pad = t_total - ids.shape[0]
+        return jnp.pad(ids, (0, pad)) if pad else ids
+    return jnp.arange(t_total, dtype=jnp.int32) + base.astype(jnp.int32)
+
+
 def _pad_tiles(cfg, tile_starts, tile_counts, tile_base):
     t = tile_starts.shape[0]
     g = _GROUP_SIZE
@@ -119,7 +132,7 @@ def _pad_tiles(cfg, tile_starts, tile_counts, tile_base):
     if pad:
         tile_starts = jnp.pad(tile_starts, (0, pad))
         tile_counts = jnp.pad(tile_counts, (0, pad))
-    tile_ids = jnp.arange(t + pad, dtype=jnp.int32) + tile_base
+    tile_ids = tile_ids_from_base(t + pad, tile_base)
     return tile_starts, tile_counts, tile_ids, t
 
 

@@ -113,7 +113,8 @@ def _pad_tiles(cfg, tile_starts, tile_counts, tile_base):
     if pad:
         tile_starts = jnp.pad(tile_starts, (0, pad))
         tile_counts = jnp.pad(tile_counts, (0, pad))
-    tile_ids = jnp.arange(t + pad, dtype=jnp.int32) + tile_base
+    from .rasterize import tile_ids_from_base
+    tile_ids = tile_ids_from_base(t + pad, tile_base)
     return tile_starts, tile_counts, tile_ids, t
 
 

@@ -349,16 +349,23 @@ def project_surfels(splats: SplatData, camera: Camera, cfg: RenderConfig,
 def bin_sort_surfels(sp: SurfelProjection, cfg: RenderConfig,
                      tile_range: tuple | None = None,
                      depth_bounds: tuple | None = None,
-                     aux_capacity: int | None = None):
+                     aux_capacity: int | None = None,
+                     row_window: tuple | None = None):
     """Fused expand+sort for surfel records (the fields ride the sort).
 
     Returns (recs [S, 17] — or [S, 18] with cfg.return_depth's extra
     channel column — tile_starts, tile_counts, total, overflow) in the
-    `rasterize_surfel` record-table layout.
+    `rasterize_surfel` record-table layout.  ``row_window``: round-robin
+    tile-row slab (binning.tile_bounds_strided; local tile ids).
     """
-    from .binning import tile_bounds
+    from .binning import tile_bounds, tile_bounds_strided
 
-    if tile_range is None:
+    if row_window is not None:
+        assert tile_range is None, "row_window replaces tile_range"
+        row_start, row_stride, rows_per = row_window
+        tile_lo = 0
+        num_tiles = rows_per * cfg.tiles_x
+    elif tile_range is None:
         tile_lo, num_tiles = 0, cfg.num_tiles
         ty_lo, ty_hi = 0, cfg.tiles_y
     else:
@@ -369,7 +376,11 @@ def bin_sort_surfels(sp: SurfelProjection, cfg: RenderConfig,
     n = sp.opacity.shape[0]
     if aux_capacity is None:
         _, aux_capacity, _ = slot_layout_for(cfg, n)
-    tx0, tx1, ty0, ty1, counts = tile_bounds(sp, cfg, ty_lo, ty_hi)
+    if row_window is not None:
+        tx0, tx1, ty0, ty1, counts = tile_bounds_strided(
+            sp, cfg, row_start, row_stride, rows_per)
+    else:
+        tx0, tx1, ty0, ty1, counts = tile_bounds(sp, cfg, ty_lo, ty_hi)
     depth_q = quantize_depth(sp.depth, sp.mask, cfg.sort_bits, depth_bounds)
     wt = tx1 - tx0 + 1
     ht = ty1 - ty0 + 1
@@ -416,8 +427,9 @@ def composite_surfels_sorted(cfg: RenderConfig, recs, starts, tcounts,
     if resolve_backend(cfg) == "pallas":
         from .pallas_surfel import (
             composite_surfel_tiles_pallas, pack_surfel_records)
+        from .rasterize import tile_ids_from_base
         packed = pack_surfel_records(recs)
-        tile_ids = jnp.arange(num_tiles, dtype=jnp.int32) + tile_base
+        tile_ids = tile_ids_from_base(num_tiles, tile_base)
         return composite_surfel_tiles_pallas(
             cfg, recs.shape[0], packed, starts, tcounts, tile_ids)
     from .rasterize_surfel import composite_surfel_tiles

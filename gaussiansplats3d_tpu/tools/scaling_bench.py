@@ -54,7 +54,7 @@ def _sync(out):
 
 
 def run_shape(splats, cfg, splat_shards, tile_shards, iters,
-              route="gather"):
+              route="gather", slab_mode="banded"):
     import optax
 
     from ..parallel.mesh import make_mesh
@@ -76,7 +76,8 @@ def run_shape(splats, cfg, splat_shards, tile_shards, iters,
 
     opt = optax.adam(1e-3)
     state = TrainState.create(sharded, opt)
-    step = make_train_step(cfg, mesh, opt, route=route)
+    step = make_train_step(cfg, mesh, opt, route=route,
+                           slab_mode=slab_mode)
     state, metrics = step(state, camera, target_tiles, tile_mask)
     jax.block_until_ready(metrics["loss"])
     _sync(metrics["loss"][None])
@@ -91,7 +92,8 @@ def run_shape(splats, cfg, splat_shards, tile_shards, iters,
     n_local = -(-n // (d if route == "a2a" else splat_shards))
     ecap = default_exchange_capacity(cfg, n_local, tile_shards)
     _, stats = sharded_render_tiles(
-        mesh, sharded, camera, cfg, return_stats=True, route=route)
+        mesh, sharded, camera, cfg, return_stats=True, route=route,
+        slab_mode=slab_mode)
     gathered = int(stats["gathered_records"])
     lanes, aux, pad = slot_layout_for(cfg, gathered)
     sort_slots = lanes * gathered + aux + pad
@@ -207,6 +209,8 @@ def main():
                          "(GB/s) to predict at, name:value pairs")
     ap.add_argument("--route", default="gather",
                     choices=["gather", "a2a", "both"])
+    ap.add_argument("--slab-mode", default="banded",
+                    choices=["banded", "interleaved"])
     args = ap.parse_args()
     n = int(args.n)
 
@@ -240,7 +244,8 @@ def main():
         for route in routes:
             if route == "a2a" and t == 1 and len(routes) > 1:
                 continue    # t=1 a2a == gather; skip only when gather runs
-            r = run_shape(splats, cfg, s, t, args.iters, route=route)
+            r = run_shape(splats, cfg, s, t, args.iters, route=route,
+                          slab_mode=args.slab_mode)
             results.append(r)
             _print_shape(r)
 

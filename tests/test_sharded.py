@@ -234,6 +234,100 @@ def test_sharded_exchange_capacity_sublinear():
     assert bool(jnp.all(jnp.isfinite(small["color"])))
 
 
+@pytest.mark.parametrize("route", ["gather", "a2a"])
+def test_interleaved_slabs_match_single_device(route):
+    """slab_mode='interleaved': round-robin tile-row ownership (the
+    load-balance fix for banded slabs' ~2x pair imbalance) must render
+    the same image as single-device, for both exchange routes."""
+    splats = scene()
+    mesh = make_mesh(splat_shards=2, tile_shards=4)
+    ref = gs.render(splats, CAM, CFG)
+    sp = device_put_sharded_splats(splats, mesh, route=route)
+    out = jax.jit(lambda s: sharded_render(
+        mesh, s, CAM, CFG, route=route, slab_mode="interleaved"))(sp)
+    assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 2e-3
+    assert jnp.max(jnp.abs(out["alpha"] - ref["alpha"])) < 2e-3
+    assert int(out["overflow"]) == 0
+
+
+def test_interleaved_slabs_balance_pairs():
+    """The point of interleaving: per-slab pair counts concentrate toward
+    the mean where banded slabs leave some shards nearly idle."""
+    import numpy as np
+    from gaussiansplats3d_tpu.parallel.sharded import sharded_render_tiles
+    splats = scene(2048)
+    # 256 px tall -> 8 tile rows over 4 shards = 2 rows per slab (at 1
+    # row per slab the two modes coincide by construction)
+    cfg = CFG.replace(height=256)
+    mesh = make_mesh(splat_shards=2, tile_shards=4)
+    sp = device_put_sharded_splats(splats, mesh)
+
+    def ratio(mode):
+        _, stats = sharded_render_tiles(mesh, sp, CAM, cfg,
+                                        return_stats=True, slab_mode=mode)
+        sl = np.asarray(stats["slab_pairs"]).astype(np.float64)
+        return float(sl.max() / max(sl.mean(), 1.0))
+    r_banded, r_inter = ratio("banded"), ratio("interleaved")
+    assert r_inter < r_banded, (r_banded, r_inter)
+    assert r_inter < 1.5, r_inter
+
+
+def test_interleaved_gradients_and_training():
+    mesh = make_mesh(splat_shards=2, tile_shards=4)
+    splats = scene(300)
+    target = jnp.zeros((CFG.height, CFG.width, 3))
+
+    def loss_single(s):
+        return jnp.mean((gs.render(s, CAM, CFG)["color"] - target) ** 2)
+
+    def loss_sharded(s):
+        img = sharded_render(mesh, s, CAM, CFG,
+                             slab_mode="interleaved")["color"]
+        return jnp.mean((img - target) ** 2)
+
+    g_ref = jax.grad(loss_single)(splats)
+    sp = device_put_sharded_splats(splats, mesh)
+    g_sh = jax.jit(jax.grad(loss_sharded))(sp)
+    for name in ("means", "scales", "quats", "colors"):
+        a, b = getattr(g_sh, name), getattr(g_ref, name)
+        scale = jnp.maximum(jnp.max(jnp.abs(b)), 1e-8)
+        assert jnp.max(jnp.abs(a - b)) / scale < 5e-3, name
+
+    # one interleaved train step must agree with the banded one
+    # (same loss up to reduction order)
+    target_splats = scene(256, seed=11)
+    tgt = gs.render(target_splats, CAM, CFG)["color"]
+    target_tiles, tile_mask = image_to_tile_blocks(tgt, CFG)
+    init = scene(256, seed=12)
+    opt = optax.adam(2e-2)
+    st_b = TrainState.create(device_put_sharded_splats(init, mesh), opt)
+    st_i = TrainState.create(device_put_sharded_splats(init, mesh), opt)
+    step_b = jax.jit(make_train_step(CFG, mesh, opt))
+    step_i = jax.jit(make_train_step(CFG, mesh, opt,
+                                     slab_mode="interleaved"))
+    _, m_b = step_b(st_b, CAM, target_tiles, tile_mask)
+    _, m_i = step_i(st_i, CAM, target_tiles, tile_mask)
+    assert abs(float(m_b["loss"]) - float(m_i["loss"])) < 1e-5
+
+
+def test_interleaved_2d_surfel_matches_single_device():
+    import dataclasses
+    import numpy as np
+    s = scene(400)
+    sc = np.array(s.scales)
+    sc[:, 2] = 1e-6
+    splats = dataclasses.replace(s, scales=jnp.asarray(sc))
+    cfg = CFG.replace(render_mode_2d=True)
+    mesh = make_mesh(splat_shards=2, tile_shards=4)
+    ref = gs.render(splats, CAM, cfg)
+    sp = device_put_sharded_splats(splats, mesh)
+    out = jax.jit(lambda x: sharded_render(
+        mesh, x, CAM, cfg, slab_mode="interleaved"))(sp)
+    # same 1/16-px bucket-boundary tolerance as the banded 2D test
+    diff_c = jnp.abs(out["color"] - ref["color"]).max(axis=-1)
+    assert int(jnp.sum(diff_c > 2e-3)) <= 8, int(jnp.sum(diff_c > 2e-3))
+
+
 def test_a2a_packed_matches_single_device():
     """route='a2a' x record_precision='packed': the per-slab touch filter
     must use the u8-log-decoded (inflated) support radius exactly like
