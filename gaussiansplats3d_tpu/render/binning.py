@@ -94,16 +94,19 @@ def tile_bounds_strided(proj: ProjectedSplats, cfg: RenderConfig,
     x, y, rx, ry = proj.xs, proj.ys, proj.rx, proj.ry
     tx0 = jnp.floor((x - rx) / ts).astype(jnp.int32)
     tx1 = jnp.floor((x + rx) / ts).astype(jnp.int32)
-    ty0 = jnp.floor((y - ry) / ts).astype(jnp.int32)
-    ty1 = jnp.floor((y + ry) / ts).astype(jnp.int32)
-    ty0 = jnp.clip(ty0, 0, cfg.tiles_y - 1)
-    ty1 = jnp.clip(ty1, 0, cfg.tiles_y - 1)
+    ty0u = jnp.floor((y - ry) / ts).astype(jnp.int32)
+    ty1u = jnp.floor((y + ry) / ts).astype(jnp.int32)
+    # viewport test on the UNCLIPPED bounds (like tile_bounds): clipping
+    # first would fold a fully-off-screen rect onto row 0 / the last row
+    ty0 = jnp.clip(ty0u, 0, cfg.tiles_y - 1)
+    ty1 = jnp.clip(ty1u, 0, cfg.tiles_y - 1)
     j = jnp.asarray(row_start, jnp.int32)
     s = row_stride
     # jnp int // is floor division, so these are exact for ty < j too
     ty0_l = -((-(ty0 - j)) // s)                  # ceil((ty0 - j) / s)
     ty1_l = (ty1 - j) // s                        # floor((ty1 - j) / s)
     inside = (proj.mask & (tx1 >= 0) & (tx0 < cfg.tiles_x)
+              & (ty1u >= 0) & (ty0u < cfg.tiles_y)
               & (ty1_l >= ty0_l) & (ty1_l >= 0) & (ty0_l < rows_per))
     tx0 = jnp.clip(tx0, 0, cfg.tiles_x - 1)
     tx1 = jnp.clip(tx1, 0, cfg.tiles_x - 1)

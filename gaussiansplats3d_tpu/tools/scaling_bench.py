@@ -101,6 +101,7 @@ def run_shape(splats, cfg, splat_shards, tile_shards, iters,
     return {
         "mesh": f"{splat_shards}x{tile_shards}",
         "route": route,
+        "slab_mode": slab_mode,
         "devices": d,
         "ms_per_step": round(ms, 1),
         "msplats_per_s": round(n / ms / 1e3, 2),
