@@ -262,11 +262,11 @@ def _to_f16_bits(x: np.ndarray) -> np.ndarray:
 
 def _prep_section(splats: SplatData, minimum_alpha: float, max_deg: int):
     """Filter + convert one section's arrays to numpy (shared SH degree)."""
-    means = np.asarray(splats.means, np.float32)
-    scales = np.asarray(splats.scales, np.float32)
-    quats = np.asarray(splats.quats, np.float32)
-    colors = np.asarray(splats.colors, np.float32)
-    sh = np.asarray(splats.with_sh_degree(max_deg).sh, np.float32)
+    means = np.ascontiguousarray(splats.means, np.float32)
+    scales = np.ascontiguousarray(splats.scales, np.float32)
+    quats = np.ascontiguousarray(splats.quats, np.float32)
+    colors = np.ascontiguousarray(splats.colors, np.float32)
+    sh = np.ascontiguousarray(splats.with_sh_degree(max_deg).sh, np.float32)
     if minimum_alpha > 0:
         keep = colors[:, 3] * 255.0 >= minimum_alpha
         means, scales, quats, colors, sh = (

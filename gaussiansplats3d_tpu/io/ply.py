@@ -308,11 +308,11 @@ def load_ply(path: str, sh_degree: int | None = None) -> SplatData:
 
 def serialize_ply(splats: SplatData) -> bytes:
     """Write an INRIA V1 binary PLY (inverse of the load transforms)."""
-    means = np.asarray(splats.means, np.float32)
-    scales = np.asarray(splats.scales, np.float32)
-    quats = np.asarray(splats.quats, np.float32)
-    colors = np.asarray(splats.colors, np.float32)
-    sh = np.asarray(splats.sh, np.float32)
+    means = np.ascontiguousarray(splats.means, np.float32)
+    scales = np.ascontiguousarray(splats.scales, np.float32)
+    quats = np.ascontiguousarray(splats.quats, np.float32)
+    colors = np.ascontiguousarray(splats.colors, np.float32)
+    sh = np.ascontiguousarray(splats.sh, np.float32)
     n, k = means.shape[0], sh.shape[1]
 
     log_scales = np.log(np.maximum(scales, 1e-12))

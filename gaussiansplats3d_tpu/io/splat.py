@@ -58,14 +58,19 @@ def load_splat(path: str) -> SplatData:
 
 def serialize_splat(splats: SplatData) -> bytes:
     """Encode to the 32-byte-row format (drops SH — the format has none)."""
-    means = np.asarray(splats.means, np.float32)
-    scales = np.asarray(splats.scales, np.float32)
-    colors = np.asarray(splats.colors, np.float32)
-    quats = np.asarray(splats.quats, np.float32)
+    # ascontiguousarray: np.asarray of a device array (or a strided host
+    # view) can carry non-contiguous strides, and .view(np.uint8)
+    # requires a contiguous last axis.
+    means = np.ascontiguousarray(splats.means, np.float32)
+    scales = np.ascontiguousarray(splats.scales, np.float32)
+    colors = np.ascontiguousarray(splats.colors, np.float32)
+    quats = np.ascontiguousarray(splats.quats, np.float32)
     n = means.shape[0]
     rows = np.empty((n, 32), np.uint8)
-    rows[:, 0:12] = means.astype("<f4").view(np.uint8)
-    rows[:, 12:24] = scales.astype("<f4").view(np.uint8)
+    rows[:, 0:12] = np.ascontiguousarray(
+        means.astype("<f4")).view(np.uint8)
+    rows[:, 12:24] = np.ascontiguousarray(
+        scales.astype("<f4")).view(np.uint8)
     rows[:, 24:28] = np.clip(np.rint(colors * 255.0), 0, 255).astype(np.uint8)
     norm = np.maximum(np.linalg.norm(quats, axis=1, keepdims=True), 1e-12)
     q = quats / norm

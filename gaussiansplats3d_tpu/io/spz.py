@@ -107,11 +107,11 @@ def load_spz(path: str, sh_degree: int | None = None) -> SplatData:
 def serialize_spz(splats: SplatData, fractional_bits: int = 12,
                   antialiased: bool = False) -> bytes:
     """Encode SplatData as .spz v2 (inverse of the decode transforms)."""
-    means = np.asarray(splats.means, np.float32)
-    scales = np.asarray(splats.scales, np.float32)
-    quats = np.asarray(splats.quats, np.float32)
-    colors = np.asarray(splats.colors, np.float32)
-    sh = np.asarray(splats.sh, np.float32)
+    means = np.ascontiguousarray(splats.means, np.float32)
+    scales = np.ascontiguousarray(splats.scales, np.float32)
+    quats = np.ascontiguousarray(splats.quats, np.float32)
+    colors = np.ascontiguousarray(splats.colors, np.float32)
+    sh = np.ascontiguousarray(splats.sh, np.float32)
     n, k = means.shape[0], sh.shape[1]
     deg = {0: 0, 3: 1, 8: 2, 15: 3}[k]
 

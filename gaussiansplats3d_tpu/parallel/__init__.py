@@ -22,5 +22,13 @@ from .heuristics import (  # noqa: F401
     densify_and_prune,
 )
 from .mesh import make_mesh  # noqa: F401
-from .sharded import sharded_render, sharded_render_tiles  # noqa: F401
+from .sharded import (  # noqa: F401
+    default_exchange_capacity,
+    deinterleave_tile_order,
+    device_put_sharded_splats,
+    interleave_tile_order,
+    pad_splats_for_mesh,
+    sharded_render,
+    sharded_render_tiles,
+)
 from .train import TrainState, make_train_step  # noqa: F401

@@ -40,6 +40,34 @@ def test_splat_roundtrip(tmp_path):
     assert quat_close(r.quats, s.quats, atol=1 / 64)
 
 
+def test_writers_accept_noncontiguous_arrays(tmp_path):
+    """np.asarray of a device array (or any strided host view) can carry
+    non-contiguous strides; every writer's .view(uint8) reinterpretation
+    requires contiguity — regression for the TPU-side bench_configs
+    crash ('last axis must be contiguous')."""
+    import dataclasses
+    s = scene(sh_degree=2)
+
+    def strided(a):
+        # embed in a wider array and slice: non-contiguous last-axis
+        # strides while values stay identical
+        a = np.asarray(a)
+        wide = np.zeros(a.shape[:-1] + (a.shape[-1] * 2,), a.dtype)
+        wide[..., ::2] = a
+        v = wide[..., ::2]
+        assert not v.flags["C_CONTIGUOUS"]
+        return v
+
+    sv = dataclasses.replace(
+        s, means=strided(s.means), scales=strided(s.scales),
+        quats=strided(s.quats), colors=strided(s.colors))
+    for name in ("a.splat", "a.ply", "a.ksplat", "a.spz"):
+        p = str(tmp_path / name)
+        gs.save(sv, p)
+        r = gs.load(p)
+        assert np.allclose(r.means, np.asarray(s.means), atol=2e-3)
+
+
 def test_ply_roundtrip(tmp_path):
     s = scene(sh_degree=2)
     p = str(tmp_path / "x.ply")
