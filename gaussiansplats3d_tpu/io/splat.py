@@ -67,10 +67,8 @@ def serialize_splat(splats: SplatData) -> bytes:
     quats = np.ascontiguousarray(splats.quats, np.float32)
     n = means.shape[0]
     rows = np.empty((n, 32), np.uint8)
-    rows[:, 0:12] = np.ascontiguousarray(
-        means.astype("<f4")).view(np.uint8)
-    rows[:, 12:24] = np.ascontiguousarray(
-        scales.astype("<f4")).view(np.uint8)
+    rows[:, 0:12] = means.astype("<f4").view(np.uint8)
+    rows[:, 12:24] = scales.astype("<f4").view(np.uint8)
     rows[:, 24:28] = np.clip(np.rint(colors * 255.0), 0, 255).astype(np.uint8)
     norm = np.maximum(np.linalg.norm(quats, axis=1, keepdims=True), 1e-12)
     q = quats / norm

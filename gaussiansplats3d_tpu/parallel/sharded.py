@@ -449,8 +449,13 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
     else:
         n_local = -(-splats.num_splats // splat_shards)
     if exchange_capacity is None:
+        # Interleaved slabs raise per-slab routed demand for MULTI-ROW
+        # splats (a rect spanning r rows touches min(r, t) round-robin
+        # slabs vs ~ceil(r/rows_per)+1 banded ones), so the default
+        # margin grows; drops stay counted in overflow either way.
+        alpha = 4.0 if slab_mode == "interleaved" else 3.0
         exchange_capacity = default_exchange_capacity(
-            cfg, n_local, tile_shards)
+            cfg, n_local, tile_shards, alpha=alpha)
     ecap = exchange_capacity
     ts = float(cfg.tile_size)
     has_scenes = transforms is not None
@@ -502,12 +507,14 @@ def sharded_render_tiles(mesh: Mesh, splats: SplatData, camera: Camera,
         ty1 = jnp.floor((y + ry) / ts).astype(jnp.int32)
         if slab_mode == "interleaved":
             # slab j owns rows {j, j+t, ...}: touched iff the rect's
-            # [ty0, ty1] contains any such row (the strided local range
-            # [ceil((ty0-j)/t), floor((ty1-j)/t)] is non-empty; binning
-            # clips harder, so over-inclusion here is safe)
+            # [ty0, ty1] contains any such row (non-empty strided local
+            # range — the SAME arithmetic binning's rects use, via the
+            # shared helper; binning clips harder, so over-inclusion
+            # here is safe)
+            from ..render.binning import strided_row_range
+
             def touch_rows(j):
-                lo = -((-(ty0 - j)) // tile_shards)
-                hi = (ty1 - j) // tile_shards
+                lo, hi = strided_row_range(ty0, ty1, j, tile_shards)
                 return proj.mask & (hi >= lo) & (hi >= 0) & (lo < rows)
             touch = touch_rows(t_idx)
             if route == "a2a":

@@ -72,6 +72,20 @@ def tile_bounds(proj: ProjectedSplats, cfg: RenderConfig,
     return tx0, tx1, ty0, ty1, counts.astype(jnp.int32)
 
 
+def strided_row_range(ty0, ty1, row_start, row_stride: int):
+    """Local row range [lo, hi] of a global tile-row rect [ty0, ty1]
+    under round-robin ownership (owner owns rows {row_start + r*stride});
+    EMPTY iff hi < lo.  The single source of the ceil/floor arithmetic —
+    both the binning rects (tile_bounds_strided) and the sharded
+    exchange's slab touch filter must use it, or the filter can stop
+    being a superset of the binning window and silently drop splats.
+    jnp integer // is floor division, so this is exact for ty < start."""
+    j = jnp.asarray(row_start, jnp.int32)
+    lo = -((-(ty0 - j)) // row_stride)             # ceil((ty0 - j) / s)
+    hi = (ty1 - j) // row_stride                   # floor((ty1 - j) / s)
+    return lo, hi
+
+
 def tile_bounds_strided(proj: ProjectedSplats, cfg: RenderConfig,
                         row_start: int | jnp.ndarray, row_stride: int,
                         rows_per: int):
@@ -100,11 +114,7 @@ def tile_bounds_strided(proj: ProjectedSplats, cfg: RenderConfig,
     # first would fold a fully-off-screen rect onto row 0 / the last row
     ty0 = jnp.clip(ty0u, 0, cfg.tiles_y - 1)
     ty1 = jnp.clip(ty1u, 0, cfg.tiles_y - 1)
-    j = jnp.asarray(row_start, jnp.int32)
-    s = row_stride
-    # jnp int // is floor division, so these are exact for ty < j too
-    ty0_l = -((-(ty0 - j)) // s)                  # ceil((ty0 - j) / s)
-    ty1_l = (ty1 - j) // s                        # floor((ty1 - j) / s)
+    ty0_l, ty1_l = strided_row_range(ty0, ty1, row_start, row_stride)
     inside = (proj.mask & (tx1 >= 0) & (tx0 < cfg.tiles_x)
               & (ty1u >= 0) & (ty0u < cfg.tiles_y)
               & (ty1_l >= ty0_l) & (ty1_l >= 0) & (ty0_l < rows_per))

@@ -365,22 +365,26 @@ def bin_sort_surfels(sp: SurfelProjection, cfg: RenderConfig,
         row_start, row_stride, rows_per = row_window
         tile_lo = 0
         num_tiles = rows_per * cfg.tiles_x
-    elif tile_range is None:
-        tile_lo, num_tiles = 0, cfg.num_tiles
-        ty_lo, ty_hi = 0, cfg.tiles_y
+
+        def bounds_fn(p):
+            return tile_bounds_strided(p, cfg, row_start, row_stride,
+                                       rows_per)
     else:
-        tile_lo, num_tiles = tile_range
-        ty_lo = tile_lo // cfg.tiles_x
-        ty_hi = ty_lo + num_tiles // cfg.tiles_x
+        if tile_range is None:
+            tile_lo, num_tiles = 0, cfg.num_tiles
+            ty_lo, ty_hi = 0, cfg.tiles_y
+        else:
+            tile_lo, num_tiles = tile_range
+            ty_lo = tile_lo // cfg.tiles_x
+            ty_hi = ty_lo + num_tiles // cfg.tiles_x
+
+        def bounds_fn(p):
+            return tile_bounds(p, cfg, ty_lo, ty_hi)
 
     n = sp.opacity.shape[0]
     if aux_capacity is None:
         _, aux_capacity, _ = slot_layout_for(cfg, n)
-    if row_window is not None:
-        tx0, tx1, ty0, ty1, counts = tile_bounds_strided(
-            sp, cfg, row_start, row_stride, rows_per)
-    else:
-        tx0, tx1, ty0, ty1, counts = tile_bounds(sp, cfg, ty_lo, ty_hi)
+    tx0, tx1, ty0, ty1, counts = bounds_fn(sp)
     depth_q = quantize_depth(sp.depth, sp.mask, cfg.sort_bits, depth_bounds)
     wt = tx1 - tx0 + 1
     ht = ty1 - ty0 + 1

@@ -272,6 +272,25 @@ def test_interleaved_slabs_balance_pairs():
     assert r_inter < 1.5, r_inter
 
 
+def test_interleaved_big_splats_no_overflow():
+    """Multi-row splats touch up to min(rows, t) round-robin slabs (vs
+    ~1-2 banded), so interleaved routing needs a bigger default exchange
+    margin — the bumped default must keep big-splat scenes drop-free."""
+    import dataclasses
+    splats = scene(512, seed=21)
+    big = (jnp.arange(512) % 6 == 0)[:, None]
+    splats = dataclasses.replace(
+        splats, scales=jnp.where(big, splats.scales * 6.0, splats.scales))
+    cfg = CFG.replace(height=256)
+    mesh = make_mesh(splat_shards=2, tile_shards=4)
+    ref = gs.render(splats, CAM, cfg)
+    sp = device_put_sharded_splats(splats, mesh)
+    out = jax.jit(lambda s: sharded_render(
+        mesh, s, CAM, cfg, slab_mode="interleaved"))(sp)
+    assert int(out["overflow"]) == 0
+    assert jnp.max(jnp.abs(out["color"] - ref["color"])) < 2e-3
+
+
 def test_interleaved_gradients_and_training():
     mesh = make_mesh(splat_shards=2, tile_shards=4)
     splats = scene(300)
