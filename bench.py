@@ -106,7 +106,7 @@ def demo_16m():
         "overflow": int(out["overflow"])}))
 
 
-def _grad_step_msplats(n, cfg, iters=3):
+def _grad_step_msplats(n, cfg, iters=5):
     """Full fwd+bwd step (gradients w.r.t. every attribute) throughput."""
     splats = _make_scene(n, cfg.sh_degree)
     camera = gs.Camera.look_at((4.5, 2.5, 4.5), (0.0, 0.0, 0.0),
